@@ -1,0 +1,221 @@
+"""On-device condition preprocessor: camera math + SMPL mesh rasterization.
+
+Behavioural parity with reference ``lib/data/preprocessor.py``
+(SHHQPreprocessor):
+  forward / forward_with_rotation  (ref :44-68)
+  _forward_fix_body                (ref :71-97)
+  _forward_fix_camera              (ref :100-134)
+  _forward_rasterize               (ref :137-176)
+  get_preprocessor                 (ref :179-196)
+
+TPU-first: rasterization runs through ops.rasterize (pure XLA z-buffer, no
+pytorch3d), and the raster camera IS the render camera — vertices are
+projected with the same cam2world/weak-perspective model the volume renderer
+uses, so ``rasterized_segments``/``rasterized_semantics`` are pixel-aligned
+with the generator output by construction (the reference approximates this
+with a separate 1-degree-fov pytorch3d camera, ref :145-150).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from threedhumangan_tpu.models.smpl import (
+    SMPLModel,
+    euler_angles_to_matrix_xyz,
+    get_smpl_model,
+)
+from threedhumangan_tpu.ops.rasterize import rasterize_mesh
+
+
+def _pad_rotation_4x4(R: jax.Array) -> jax.Array:
+    B = R.shape[0]
+    out = jnp.tile(jnp.eye(4, dtype=R.dtype)[None], (B, 1, 1))
+    return out.at[:, :3, :3].set(R)
+
+
+class Preprocessor:
+    """Holds the static face tables; all compute methods are jit-compiled
+    pure functions of the batch dict."""
+
+    def __init__(
+        self,
+        gen_height: int,
+        gen_width: int,
+        smpl_faces: np.ndarray,
+        faces_to_labels: np.ndarray,
+        coordinate_mode: str = "fix_body",
+        h_mean: float = 0.0,
+        v_mean: float = 0.0,
+        h_stddev: float = 0.0,
+        v_stddev: float = 0.0,
+        **_unused,
+    ):
+        self.height = gen_height
+        self.width = gen_width
+        self.mode = coordinate_mode
+        self.h_mean, self.v_mean = h_mean, v_mean
+        self.h_stddev, self.v_stddev = h_stddev, v_stddev
+        self.smpl_faces = np.asarray(smpl_faces, np.int32)
+        self.faces_to_labels = jnp.asarray(faces_to_labels, np.int32)
+
+    # -- public API ---------------------------------------------------------
+
+    def __call__(self, data: Dict, rotate: bool, rng: jax.Array) -> Dict:
+        """(ref forward :44-53)"""
+        B = data["scales"].shape[0]
+        kh, kv = jax.random.split(rng)
+        h_rot = jax.random.normal(kh, (B,)) * (self.h_stddev if rotate else 0.0) + self.h_mean
+        v_rot = jax.random.normal(kv, (B,)) * (self.v_stddev if rotate else 0.0) + self.v_mean
+        r_rot = jnp.zeros_like(h_rot)
+        return self.forward_with_rotation(data, h_rot, v_rot, r_rot)
+
+    def forward_with_rotation(self, data, h_rotation, v_rotation, r_rotation):
+        """(ref :56-68)"""
+        if self.mode == "fix_body":
+            data = self._forward_fix_body(data, h_rotation, v_rotation, r_rotation)
+        elif self.mode == "fix_camera":
+            data = self._forward_fix_camera(data, h_rotation, v_rotation, r_rotation)
+        else:
+            raise NotImplementedError(self.mode)
+        return self._forward_rasterize(data)
+
+    # -- camera setup --------------------------------------------------------
+
+    def _forward_fix_body(self, data, h_rotation, v_rotation, r_rotation):
+        """Rotate the camera around a fixed body (ref :71-97).
+
+        euler x = pi - v flips the camera upside down: image rows run top to
+        bottom while world y is up.
+        """
+        B = data["scales"].shape[0]
+        # full_pose: (B, J, 3, 3) rotation matrices; joint 0 is the root
+        root_rotation = data["full_pose"][:, 0]
+
+        euler = jnp.stack(
+            [jnp.pi - v_rotation, -h_rotation, -r_rotation], axis=-1
+        )
+        R = euler_angles_to_matrix_xyz(euler)
+        R = jnp.einsum("bij,bjk->bik", root_rotation, R)
+
+        body_rotation = _pad_rotation_4x4(R)
+        world2cam = jnp.einsum(
+            "bij,bjk,bkl->bil", data["R"], data["T"], body_rotation
+        )
+        cam2world = jnp.linalg.inv(world2cam.astype(jnp.float32))
+        out = dict(data)
+        out["cam2world_matrices"] = cam2world
+        return out
+
+    def _forward_fix_camera(self, data, h_rotation, v_rotation, r_rotation):
+        """Rotate the body under a fixed camera (ref :100-134)."""
+        euler = jnp.stack([v_rotation, h_rotation, r_rotation], axis=-1)
+        R = _pad_rotation_4x4(euler_angles_to_matrix_xyz(euler))
+        body_rotation = jnp.linalg.inv(R)
+
+        tpose_vertices = data["tpose_vertices_shaped"]
+        fk_matrices = jnp.einsum("bjk,bikl->bijl", body_rotation, data["fk_matrices"])
+        vert_fk = jnp.einsum("bvj,bjkl->bvkl", data["lbs_weights"], fk_matrices)
+        tpose_homo = jnp.concatenate(
+            [tpose_vertices, jnp.ones_like(tpose_vertices[..., :1])], axis=-1)
+        vertices = jnp.einsum("bvij,bvj->bvi", vert_fk, tpose_homo)[..., :3]
+
+        skel_homo = jnp.concatenate(
+            [data["skeletons_xyz"], jnp.ones_like(data["skeletons_xyz"][..., :1])], axis=-1)
+        skeletons = jnp.einsum("bjk,bik->bij", body_rotation, skel_homo)[..., :3]
+
+        out = dict(data)
+        out["fk_matrices"] = fk_matrices
+        out["vertices"] = vertices
+        out["skeletons_xyz"] = skeletons
+        return out
+
+    # -- rasterization -------------------------------------------------------
+
+    def _forward_rasterize(self, data):
+        """(ref :137-176) — but projected through the render camera."""
+        verts = data["vertices"].astype(jnp.float32)  # (B, V, 3) world
+        cam2world = data["cam2world_matrices"].astype(jnp.float32)
+        world2cam = jnp.linalg.inv(cam2world)
+        focal = data["intrinsics"][:, 0, 0].astype(jnp.float32)  # (B,)
+
+        # world -> camera
+        v_cam = jnp.einsum("bij,bvj->bvi", world2cam[:, :3, :3], verts) + world2cam[:, None, :3, 3]
+        # weak-perspective projection onto the renderer's pixel grid
+        x_ndc = focal[:, None] * v_cam[..., 0] / v_cam[..., 2]
+        y_ndc = focal[:, None] * v_cam[..., 1] / v_cam[..., 2]
+        verts_screen = jnp.stack([x_ndc, y_ndc, v_cam[..., 2]], axis=-1)
+
+        pix_to_face, bary, zbuf = rasterize_mesh(
+            verts_screen, jnp.asarray(self.smpl_faces), (self.height, self.width))
+
+        bg_mask = pix_to_face < 0
+        face_safe = jnp.maximum(pix_to_face, 0)
+
+        # winning vertex = argmax barycentric (ref :159-164)
+        faces_j = jnp.asarray(self.smpl_faces)  # (F, 3)
+        face_verts = faces_j[face_safe]  # (B, H, W, 3)
+        best_corner = jnp.argmax(bary, axis=-1)
+        pix_to_vert = jnp.take_along_axis(face_verts, best_corner[..., None], axis=-1)[..., 0]
+
+        # semantics: canonical T-pose xyz of the nearest vertex (ref :166-168);
+        # the reference indexes tpose_vertices[0] (template shared across batch)
+        template = data["tpose_vertices"][0]  # (V, 3)
+        semantics = template[pix_to_vert]  # (B, H, W, 3)
+        semantics = jnp.where(bg_mask[..., None], 0.0, semantics)
+
+        # segments: face -> densepose label + 2; bg = 1 (ref :170-174)
+        segments = self.faces_to_labels[face_safe] + 2
+        segments = jnp.where(bg_mask, 1, segments)
+
+        out = dict(data)
+        out["rasterized_semantics"] = semantics
+        out["rasterized_segments"] = segments.astype(jnp.int32)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# assembly
+# ---------------------------------------------------------------------------
+
+
+def load_face_labels(faces: np.ndarray, densepose_path: Optional[str] = None) -> np.ndarray:
+    """SMPL face -> DensePose body-part label table (ref get_preprocessor
+    :186-192).  Falls back to a height-binned synthetic labeling when the
+    densepose asset is absent (tests / synthetic data)."""
+    candidates = [densepose_path, "./datasets/densepose_data.json",
+                  "/root/repo/datasets/densepose_data.json"]
+    for c in candidates:
+        if c and os.path.exists(c):
+            with open(c) as f:
+                dp = json.load(f)
+            s2d = np.asarray(dp["smpl_faces_to_densepose_faces"], np.int64)
+            d2l = np.asarray(dp["densepose_faces_to_labels"], np.int64)
+            return d2l[s2d[np.arange(len(faces))]]
+    # synthetic: bin faces into 24 pseudo-parts by face index
+    return (np.arange(len(faces)) * 24 // max(len(faces), 1)).astype(np.int64)
+
+
+def get_preprocessor(meta: Dict, smpl_model: Optional[SMPLModel] = None,
+                     densepose_path: Optional[str] = None) -> Preprocessor:
+    """(ref get_preprocessor :179-196)"""
+    smpl = smpl_model if smpl_model is not None else get_smpl_model()
+    labels = load_face_labels(smpl.faces, densepose_path)
+    return Preprocessor(
+        gen_height=meta["gen_height"],
+        gen_width=meta["gen_width"],
+        smpl_faces=smpl.faces,
+        faces_to_labels=labels,
+        coordinate_mode=meta.get("coordinate_mode", "fix_body"),
+        h_mean=meta.get("h_mean", 0.0),
+        v_mean=meta.get("v_mean", 0.0),
+        h_stddev=meta.get("h_stddev", 0.0),
+        v_stddev=meta.get("v_stddev", 0.0),
+    )

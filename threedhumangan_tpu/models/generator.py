@@ -1,0 +1,328 @@
+"""Map3DGenerator: 3D pose-mapping field + volume render + 2D synthesis.
+
+Behavioural parity with reference ``lib/generators/map3d_generator.py``
+(Map3DGenerator :101-523):
+  forward        (ref :208-280)
+  staged_forward (ref :282-378) — truncation, depth map.  The reference's
+      per-sample ``max_points=50000`` chunking loop (:433-444) exists to fit
+      GPU memory; on TPU the field is evaluated as one tiled matmul pass and
+      XLA handles scheduling, so ``staged`` only toggles truncation + depth
+      outputs, not chunking.
+  render         (ref :381-523)
+  generate_avg_latent (ref :182-194)
+
+Everything is functional: ``init_generator(key, meta) -> (params, state)``
+and ``generator_forward(params, state, z, conditions, rng, meta, ...)``.
+``meta`` is the plain config dict (static under jit).  Images are NHWC.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from threedhumangan_tpu.models import synthesis as syn
+from threedhumangan_tpu.models import volume_rendering as vr
+from threedhumangan_tpu.models.mapping import (
+    apply_mapping_network,
+    apply_two_part_mapping_network,
+    init_mapping_network,
+    init_two_part_mapping_network,
+)
+from threedhumangan_tpu.models.siren import NEURAL_FIELD_REGISTRY
+from threedhumangan_tpu.models.smpl import get_geo_features
+
+
+def _is_zero(x) -> bool:
+    """True only for a *static* zero noise level (lets eval paths skip the
+    RNG draw entirely); traced scalars return False."""
+    return isinstance(x, (int, float)) and x == 0
+
+
+def init_generator(key, meta: Dict) -> Tuple[Dict, Dict]:
+    """Build all generator params (ref Map3DGenerator.__init__ :103-173)."""
+    keys = jax.random.split(key, 6)
+    latent_dim = meta["latent_dim"]
+    hidden_dim = meta["hidden_dim"]
+    feature_dim = meta["feature_dim"]
+
+    field_init, _ = NEURAL_FIELD_REGISTRY[meta["neural_field_cls"]]
+    params = {}
+    state = {}
+
+    params["neural_field"] = field_init(
+        keys[0],
+        input_dim=meta["input_dim"],
+        hidden_dim=hidden_dim,
+        geo_feature_dim=meta["geo_feature_dim"],
+        feature_dim=feature_dim,
+        num_blocks=meta["neural_field_blocks"],
+    )
+
+    syn_in_dim = 2
+    if meta.get("2d_semantic_input", False):
+        syn_in_dim += meta["semantic_dim"]
+    if meta.get("2d_label_input", False):
+        syn_in_dim += 1
+    params["synthesis_input"] = syn.init_synthesis_input(keys[1], syn_in_dim, feature_dim)
+
+    style_in_dim = 1 if "segments" in meta["condition_modal_gen"] else 3
+    params["synthesis_style_input"] = syn.init_synthesis_style_input(
+        keys[2], style_in_dim, latent_dim, feature_dim, num_layers=3)
+
+    net_in_dim = feature_dim + (latent_dim if meta.get("2d_latent_input", False) else 0)
+    params["synthesis_network"], state["synthesis_network"], _ = syn.init_synthesis_network(
+        keys[3],
+        input_dim=net_in_dim,
+        style_dim=feature_dim,
+        hidden_dim=hidden_dim,
+        num_blocks=meta["synthesis_blocks"],
+        mod_blocks=meta["mod_blocks"],
+        spatial_normalization=meta.get("spatial_normalization", "instance_norm"),
+        map3d_mode=meta.get("map3d_mode", "isolated"),
+    )
+
+    params["neural_field_mapping_network"] = init_mapping_network(
+        keys[4], latent_dim, hidden_dim, 2 * meta["neural_field_blocks"] * hidden_dim)
+
+    params["synthesis_mapping_network"] = init_two_part_mapping_network(
+        keys[5], z_dim=latent_dim, w_dim=feature_dim, implicit_dim=1, num_ws=1,
+        trunk_layers=7, branch_layers=1, lr_multiplier=0.01)
+
+    params["latent_pool"] = jnp.zeros((meta["dataset_length"], latent_dim), jnp.float32)
+
+    return params, state
+
+
+def _synthesis_meta(meta) -> Dict:
+    return {
+        "num_blocks": meta["synthesis_blocks"],
+        "mod_blocks": tuple(meta["mod_blocks"]),
+        "spatial_normalization": meta.get("spatial_normalization", "instance_norm"),
+        "map3d_mode": meta.get("map3d_mode", "isolated"),
+    }
+
+
+def render(
+    params: Dict,
+    freq: jax.Array,
+    phase: jax.Array,
+    conditions: Dict,
+    rng: jax.Array,
+    meta: Dict,
+    compute_dtype=jnp.float32,
+    nerf_noise=None,
+):
+    """Volume-render the pose-conditioned field (ref render :381-523).
+
+    ``nerf_noise`` may be a traced scalar (it decays per training step,
+    base_trainer.py:384); falls back to meta['nerf_noise'].
+
+    Returns (rgb_render NHWC, feature_maps NHWC, depths (B,rays,1), weights,
+    extrinsics).
+    """
+    render_w = meta["render_width"]
+    render_h = meta["render_height"]
+    num_steps = meta["num_steps"]
+    field_apply = NEURAL_FIELD_REGISTRY[meta["neural_field_cls"]][1]
+
+    skeletons = conditions["skeletons_xyz"]
+    vertices = conditions["vertices"]
+    tpose_vertices = conditions["tpose_vertices"]
+    fk_matrices = conditions["fk_matrices"]
+    lbs_weights = conditions["lbs_weights"]
+    cam2world = conditions["cam2world_matrices"]
+    focals = conditions["intrinsics"][:, 0, 0]
+    scales = conditions["scales"].astype(jnp.float32)
+
+    B = freq.shape[0]
+    k_transform, k_noise = jax.random.split(rng)
+
+    # --- camera rays (no_grad region in the reference; pure data here) ---
+    points_cam, z_vals, rays_d_cam = vr.get_initial_rays_weak_perspective(
+        focals, scales, num_steps, resolution=(render_w, render_h),
+        ray_start=meta["ray_start"], ray_end=meta["ray_end"])
+
+    (points, z_vals, ray_dirs, ray_origins, pitch, yaw, extrinsics) = vr.transform_sampled_points(
+        points_cam, z_vals, rays_d_cam, k_transform,
+        cam2world_matrix=cam2world, mode=meta.get("sample_dist"),
+        h_stddev=meta.get("h_stddev", 1.0), v_stddev=meta.get("v_stddev", 1.0),
+        h_mean=meta.get("h_mean", 0.0), v_mean=meta.get("v_mean", 0.0),
+        perturb=meta.get("perturb_rays", True),
+    )
+    n_points = render_w * render_h * num_steps
+    points = points.reshape(B, n_points, 3)
+    ray_dirs_exp = vr.expand_ray_directions(ray_dirs, num_steps)
+    if meta.get("lock_view_dependence", False):
+        ray_dirs_exp = jnp.zeros_like(ray_dirs_exp).at[..., -1].set(-1.0)
+
+    # --- geo features (ref get_geo_features wrapper :196-205) ---
+    if meta.get("disable_modulation", False):
+        modulation = jnp.zeros((B, n_points, meta["geo_feature_dim"]), points.dtype)
+    else:
+        modulation = jax.lax.stop_gradient(
+            get_geo_features(points, skeletons, vertices, tpose_vertices,
+                             fk_matrices, lbs_weights,
+                             legacy_mode=meta.get("legacy_mode", False)))
+
+    # --- field evaluation (hot path) ---
+    field_out = field_apply(
+        params["neural_field"], points, freq, phase, modulation, ray_dirs_exp,
+        input_scaler=2.0 / meta["side_length"], compute_dtype=compute_dtype)
+
+    feature_dim = meta["feature_dim"]
+    field_out = field_out.reshape(B, render_w * render_h, num_steps, feature_dim + 4)
+
+    # --- integration (hierarchical_sample is off in all shipped configs;
+    # sample_pdf is available in volume_rendering for parity) ---
+    noise_std = meta.get("nerf_noise", 0.5) if nerf_noise is None else nerf_noise
+    render_out, depths, weights = vr.ray_integration(
+        field_out, z_vals,
+        noise_std=noise_std, rng=k_noise if not _is_zero(noise_std) else None,
+        white_back=meta.get("white_back", False),
+        last_back=meta.get("last_back", False),
+        clamp_mode=meta["clamp_mode"])
+
+    render_out = render_out.reshape(B, render_h, render_w, feature_dim + 3)
+    rgb_render = render_out[..., :3] * 2.0 - 1.0
+    feature_maps = render_out[..., 3:]
+    return rgb_render, feature_maps, depths, weights, extrinsics
+
+
+def generate_avg_latent(params: Dict, rng: jax.Array, meta: Dict, n: int = 10000):
+    """Mean (z, freq, phase, style) over n samples (ref :182-194)."""
+    z = jax.random.normal(rng, (n, meta["latent_dim"]))
+    freq, phase = apply_mapping_network(params["neural_field_mapping_network"], z)
+    _, styles = apply_two_part_mapping_network(params["synthesis_mapping_network"], z)
+    return (
+        jnp.mean(z, axis=0, keepdims=True),
+        jnp.mean(freq, axis=0, keepdims=True),
+        jnp.mean(phase, axis=0, keepdims=True),
+        jnp.mean(styles, axis=0, keepdims=True),
+    )
+
+
+def generator_forward(
+    params: Dict,
+    state: Dict,
+    z: jax.Array,
+    conditions: Dict,
+    rng: jax.Array,
+    meta: Dict,
+    latent_indices: Optional[jax.Array] = None,
+    train: bool = False,
+    axis_name: Optional[str] = None,
+    compute_dtype=jnp.float32,
+    truncation_psi: float = 1.0,
+    avg_latent=None,
+    disable_synthesis: bool = False,
+    with_depth: bool = False,
+    nerf_noise=None,
+):
+    """Unified forward (ref forward :208-280 and staged_forward :282-378 —
+    the two differ only by truncation/depth, both supported here).
+
+    Returns (output dict, new_state).  Images NHWC in [-1, 1].
+    """
+    B = z.shape[0]
+    gen_h, gen_w = meta["gen_height"], meta["gen_width"]
+    render_h, render_w = meta["render_height"], meta["render_width"]
+    latent = z
+
+    if latent_indices is not None:
+        latent = params["latent_pool"][latent_indices]
+
+    if meta.get("neural_field_latent_input", True):
+        freq, phase = apply_mapping_network(
+            params["neural_field_mapping_network"], latent, compute_dtype)
+    else:
+        freq, phase = apply_mapping_network(
+            params["neural_field_mapping_network"], jnp.zeros_like(latent), compute_dtype)
+
+    _, synthesis_styles = apply_two_part_mapping_network(
+        params["synthesis_mapping_network"], latent, compute_dtype)
+
+    if truncation_psi < 1.0:
+        if avg_latent is None:
+            k_avg, rng = jax.random.split(rng)
+            avg_latent = generate_avg_latent(params, k_avg, meta)
+        avg_z, avg_freq, avg_phase, avg_styles = avg_latent
+        freq = avg_freq + truncation_psi * (freq - avg_freq)
+        phase = avg_phase + truncation_psi * (phase - avg_phase)
+        latent = avg_z + truncation_psi * (latent - avg_z)
+        synthesis_styles = avg_styles + truncation_psi * (synthesis_styles - avg_styles)
+
+    depths = None
+    if meta.get("disable_render", False):
+        condition_modal = meta["condition_modal_gen"]
+        condition = conditions[condition_modal]
+        if "segments" in condition_modal:
+            condition = condition[..., None].astype(latent.dtype) / (meta["label_dim"] - 1) * 2 - 1
+        if meta.get("spade_latent_input", True):
+            feature_maps = syn.apply_synthesis_style_input(
+                params["synthesis_style_input"], condition, latent, compute_dtype)
+        else:
+            feature_maps = syn.apply_synthesis_style_input(
+                params["synthesis_style_input"], condition, jnp.zeros_like(latent), compute_dtype)
+        rgb_render = jnp.zeros((B, render_h, render_w, 3), latent.dtype)
+        depths = jnp.zeros((B, render_h * render_w, 1), latent.dtype)
+    else:
+        rgb_render, feature_maps, depths, weights, extrinsics = render(
+            params, freq, phase, conditions, rng, meta, compute_dtype,
+            nerf_noise=nerf_noise)
+
+    interp = meta.get("feature_map_interpolation", "bilinear")
+    feature_maps = jax.image.resize(
+        feature_maps, (B, gen_h, gen_w, feature_maps.shape[-1]), method=interp)
+
+    new_state = state
+    if disable_synthesis or meta.get("disable_synthesis", False):
+        output = {"rgbs": rgb_render, "rgbs_render": rgb_render}
+    else:
+        coords = syn.get_2d_coords(B, gen_h, gen_w, dtype=jnp.float32)
+        if meta.get("2d_label_input", False):
+            label = conditions["rasterized_segments"][..., None] / meta["label_dim"] * 2 - 1
+            coords = jnp.concatenate([coords, label.astype(coords.dtype)], axis=-1)
+        synthesis_input = syn.apply_synthesis_input(
+            params["synthesis_input"], coords, compute_dtype)
+        if meta.get("2d_latent_input", False):
+            lat = jnp.broadcast_to(
+                latent[:, None, None, :], (B, gen_h, gen_w, latent.shape[-1]))
+            synthesis_input = jnp.concatenate([synthesis_input, lat.astype(synthesis_input.dtype)], axis=-1)
+
+        syn_out, syn_state = syn.apply_synthesis_network(
+            params["synthesis_network"], state["synthesis_network"], _synthesis_meta(meta),
+            synthesis_input, feature_maps, synthesis_styles,
+            train=train, axis_name=axis_name, compute_dtype=compute_dtype)
+        new_state = dict(state)
+        new_state["synthesis_network"] = syn_state
+        output = {"rgbs": syn_out["final"], "rgbs_render": rgb_render}
+
+    if with_depth and depths is not None:
+        # normalized depth map (ref staged_forward :364-376)
+        focals = conditions["intrinsics"][:, 0, 0]
+        scales = conditions["scales"].astype(jnp.float32)
+        z_centers = focals / scales
+        depth = depths - z_centers.reshape(B, 1, 1)
+        depth = depth / (meta["depth_length"] / 2.0)
+        depth = jnp.clip(depth, -1.0, 1.0)
+        output["depths"] = depth.reshape(B, render_h, render_w, 1)
+        output["skeletons"] = conditions["skeletons_xyz"]
+
+    return output, new_state
+
+
+def staged_forward(
+    params, state, z, conditions, rng, meta,
+    truncation_psi: Optional[float] = None, avg_latent=None, compute_dtype=jnp.float32,
+):
+    """Inference entry (ref staged_forward :282-378).  No chunking needed on
+    TPU — see module docstring."""
+    psi = meta.get("truncation_psi", 1.0) if truncation_psi is None else truncation_psi
+    return generator_forward(
+        params, state, z, conditions, rng, meta,
+        train=False, compute_dtype=compute_dtype,
+        truncation_psi=psi, avg_latent=avg_latent, with_depth=True,
+    )

@@ -1,0 +1,73 @@
+"""Device mesh construction and sharded training-step wrappers.
+
+The reference scales with DDP over NCCL (one process per GPU,
+apps/train.py:57, base_trainer.py:102-104).  The TPU-native equivalent is
+SPMD: one process drives an ICI mesh; the train step runs under
+``shard_map`` with the batch axis sharded across the ``data`` axis and
+params replicated; gradient reduction is a ``pmean`` riding ICI.  A second
+``model`` axis is plumbed through for future tensor sharding of the field
+matmuls (the reference has no TP — SURVEY.md §2.8).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def local_device_count() -> int:
+    return jax.local_device_count()
+
+
+def create_mesh(
+    n_data: Optional[int] = None, n_model: int = 1, devices=None
+) -> Mesh:
+    """1-or-2-axis mesh: ('data', 'model').  Defaults to all local devices
+    on the data axis."""
+    devices = devices if devices is not None else jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_model
+    dev_array = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(dev_array, axis_names=("data", "model"))
+
+
+def shard_batch(batch: Dict, mesh: Mesh) -> Dict:
+    """Place a host batch with the leading axis sharded over 'data'."""
+    sharding = NamedSharding(mesh, P("data"))
+
+    def put(x):
+        if hasattr(x, "ndim") and x.ndim >= 1:
+            return jax.device_put(x, sharding)
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    return jax.tree.map(put, batch)
+
+
+def replicate(tree, mesh: Mesh):
+    return jax.device_put(tree, NamedSharding(mesh, P()))
+
+
+def make_sharded_step(step_fn, mesh: Mesh, axis_name: str = "data"):
+    """Wrap a per-replica step fn(ts, batch, rng, ...) -> (ts, stats) with
+    shard_map: batch sharded over 'data', everything else replicated.
+
+    ``step_fn`` must already psum/pmean its grads and stats over
+    ``axis_name`` (trainers.phase_trainer steps do when axis_name is set).
+    """
+    from jax.experimental.shard_map import shard_map
+
+    def wrapped(ts, batch, rng, *args):
+        fn = partial(step_fn, axis_name=axis_name)
+        return shard_map(
+            fn,
+            mesh=mesh,
+            in_specs=(P(), P(axis_name), P()) + tuple(P() for _ in args),
+            out_specs=(P(), P()),
+            check_rep=False,
+        )(ts, batch, rng, *args)
+
+    return wrapped

@@ -1,0 +1,181 @@
+"""Host-side training orchestration.
+
+Behavioural parity with reference ``lib/trainers/base_trainer.py``
+(BaseTrainer.run :328-449):
+  * per-step ``extract_metadata`` curriculum lookup, loop stops when a
+    block without batch_size is reached (ref :341-342, :368-369);
+  * dataloader rebuild on batch/resolution change (ref :344-360) — here a
+    resolution change also implies one re-jit (static shapes);
+  * nerf_noise decay ``max(0, 1 - step/5000)`` (ref :384);
+  * D step then G step (ref :386-397); ADA p controller hooks (ref :405-406,
+    interval 0 in all shipped configs);
+  * checkpoint every ``model_save_interval`` with keep-interval pruning
+    (ref :377-378, :183-202); resume-from-latest (ref :74-91);
+  * metrics: psum'd moment vectors -> host Collector; scalars appended to
+    ``metrics.jsonl`` (stands in for TensorBoard, which is torch-side).
+
+The reference's AMP GradScaler plumbing (ref :50-51, :374-375) has no TPU
+equivalent because bf16 needs no loss scaling.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from threedhumangan_tpu import configs
+from threedhumangan_tpu.data.dataset import get_dataset_distributed
+from threedhumangan_tpu.data.preprocessor import get_preprocessor
+from threedhumangan_tpu.parallel.stats import Collector
+from threedhumangan_tpu.trainers.phase_trainer import (
+    TrainState,
+    init_train_state,
+    train_step_pair,
+)
+from threedhumangan_tpu.utils.checkpoint import (
+    latest_checkpoint,
+    load_checkpoint,
+    save_checkpoint,
+)
+
+
+def z_sampler(key, shape, dist: str = "gaussian"):
+    """(ref base_trainer.py:25-30)"""
+    if dist == "gaussian":
+        return jax.random.normal(key, shape)
+    return jax.random.uniform(key, shape) * 2.0 - 1.0
+
+
+class Trainer:
+    """Single-host trainer (multi-chip via parallel.sharding wrappers)."""
+
+    def __init__(self, rank: int, world_size: int, opt, config: Dict,
+                 smpl_model=None):
+        self.rank = rank
+        self.world_size = world_size
+        self.opt = opt
+        self.config = config
+        self.output_dir = os.path.join(opt.output_dir, config["name"])
+        if rank == 0:
+            os.makedirs(self.output_dir, exist_ok=True)
+
+        self.meta = configs.extract_metadata(config, 0)
+        self.smpl_model = smpl_model
+        self.collector = Collector(".*")
+        self.step = 0
+        self._meta_cache_step: Optional[int] = None
+        self._stage_meta: Optional[Dict] = None
+
+        key = jax.random.PRNGKey(getattr(opt, "seed", 0) + rank)
+        self.rng, init_key = jax.random.split(key)
+        self.ts: TrainState = init_train_state(init_key, self.meta)
+
+        ckpt = latest_checkpoint(self.output_dir)
+        if ckpt:
+            payload = load_checkpoint(ckpt)
+            self.ts = jax.tree.map(jnp.asarray, TrainState(**payload["train_state"]))
+            self.step = int(payload["step"])
+            print(f"rank {rank}: resumed from {ckpt} at step {self.step}")
+
+        self._build_stage(self.meta)
+
+        # latent pool init from GAN-inversion latents (ref phase_trainer.py:29-32)
+        if ckpt is None:
+            latents = self.dataset.get_all_latents()
+            self.ts = self.ts._replace(
+                params_G={**self.ts.params_G, "latent_pool": jnp.asarray(latents)})
+
+    # -- stage management -----------------------------------------------------
+
+    def _build_stage(self, meta: Dict):
+        """(ref run :344-360): rebuild loader + preprocessor on stage change."""
+        self.proc_batch_size = meta["batch_size"] // self.world_size
+        self.batch_size = meta["batch_size"]
+        self.gen_height, self.gen_width = meta["gen_height"], meta["gen_width"]
+        self.loader_fn, self.dataset = get_dataset_distributed(
+            meta["dataset"], self.world_size, self.rank, self.proc_batch_size,
+            smpl_model=self.smpl_model, **{k: v for k, v in meta.items() if k != "smpl_model"})
+        self.preprocessor = get_preprocessor(meta, smpl_model=self.dataset.smpl_model)
+        self._stage_meta = dict(meta)
+        self._stage_meta.pop("nerf_noise", None)
+
+    def _meta_for_step(self, step: int) -> Optional[Dict]:
+        meta = configs.extract_metadata(self.config, step)
+        if "batch_size" not in meta:
+            return None
+        if (meta["batch_size"] != self.batch_size
+                or meta["gen_height"] != self.gen_height
+                or meta["gen_width"] != self.gen_width):
+            self._build_stage(meta)
+        # reuse the SAME dict object per stage so jit never re-traces
+        for k in ("gen_lr", "disc_lr"):
+            self._stage_meta[k] = meta[k]
+        return self._stage_meta
+
+    # -- logging ----------------------------------------------------------------
+
+    def _log(self, scalars: Dict[str, float]):
+        if self.rank != 0:
+            return
+        path = os.path.join(self.output_dir, "metrics.jsonl")
+        with open(path, "a") as f:
+            f.write(json.dumps({"step": self.step, **scalars}) + "\n")
+
+    # -- main loop ----------------------------------------------------------------
+
+    def run(self, max_steps: Optional[int] = None) -> None:
+        n_epochs = getattr(self.opt, "n_epochs", 1)
+        save_interval = getattr(self.opt, "model_save_interval", 1000)
+        keep_interval = getattr(self.opt, "model_keep_interval", 5000)
+        t0 = time.time()
+
+        for epoch in range(n_epochs):
+            meta = self._meta_for_step(self.step)
+            if meta is None:
+                break
+            for data in self.loader_fn(seed=epoch, shuffle=True):
+                meta = self._meta_for_step(self.step)
+                if meta is None:
+                    return
+                if max_steps is not None and self.step >= max_steps:
+                    return
+
+                phase = meta["phases"][self.step % len(meta["phases"])]
+                nerf_noise = max(0.0, 1.0 - self.step / 5000.0)  # ref :384
+
+                batch = {k: jnp.asarray(v) for k, v in data.items()}
+                self.rng, step_key = jax.random.split(self.rng)
+                self.ts, stats = train_step_pair(
+                    self.ts, batch, step_key, meta, self.preprocessor, phase,
+                    lr_g=meta["gen_lr"], lr_d=meta["disc_lr"], nerf_noise=nerf_noise)
+                self.step += 1
+
+                if self.rank == 0 and self.step % 10 == 0:
+                    self.collector.update(jax.device_get(stats))
+                    scalars = {n: self.collector[n] for n in self.collector.names()}
+                    scalars["imgs_per_sec"] = (
+                        self.step * self.batch_size / max(time.time() - t0, 1e-9))
+                    self._log(scalars)
+                    self.collector.reset()
+
+                if self.rank == 0 and self.step % save_interval == 0 and self.step > 0:
+                    self.save()
+
+        if self.rank == 0:
+            self.save()
+
+    def save(self):
+        save_checkpoint(
+            self.output_dir, self.step,
+            {"train_state": jax.device_get(self.ts)._asdict(), "config_name": self.config["name"]},
+            keep_interval=getattr(self.opt, "model_keep_interval", 5000))
+
+
+# registry for apps/train.py-style dispatch (ref apps/train.py:75)
+TRAINERS = {"PhaseTrainer": Trainer, "BaseTrainer": Trainer}

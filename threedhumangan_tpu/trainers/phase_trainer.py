@@ -1,0 +1,341 @@
+"""PhaseTrainer: the adversarial training loop as pure jitted step functions.
+
+Behavioural parity with reference ``lib/trainers/phase_trainer.py`` and
+``base_trainer.py``:
+  * 8-slot phase schedule cycled by step (rotate / do_r1 flags,
+    configs/map3d.py:10-19; phase lookup phase_trainer.py:299-300);
+  * D step (ref :297-318, :344-443): preprocess (rasterize) -> G forward
+    (no grad) -> D(real) with R1 on the segmentation softmax (x4 on R1
+    phases, ref :392) -> D(fake) -> balanced segmentation CE (+ optional
+    softplus GAN / latent regression);
+  * G step (ref :321-341, :446-550): G -> D -> segmentation CE against a
+    randomly chosen GT modal (rasterized vs annotated, ref :533), optional
+    gan/latent/photometric losses; grad-clip 1.0, EMA update;
+  * nerf_noise decay max(0, 1 - step/5000) (base_trainer.py:384) enters the
+    step as a traced scalar;
+  * per-group Adam lrs (ref :57-84) via trainers.optim.
+
+TPU-first: each step is ONE jit-compiled function — preprocessing
+(rasterization), generator, discriminator, losses, R1 double-grad, optimizer
+and EMA all fuse into a single XLA program; under a mesh the same function
+runs under shard_map with psum'd grads (= DDP) and pmean'd BN moments
+(= SyncBatchNorm).  No GradScaler: bf16 activations + f32 params/grads.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from threedhumangan_tpu.models.discriminator import discriminator_forward, init_discriminator
+from threedhumangan_tpu.models.generator import generator_forward, init_generator
+from threedhumangan_tpu.trainers import losses as L
+from threedhumangan_tpu.trainers.optim import adam_step, generator_lr_multipliers, make_adam
+from threedhumangan_tpu.utils.ema import ema_init, ema_update
+from threedhumangan_tpu.utils.misc import normalize_2nd_moment, policy_from_meta
+from threedhumangan_tpu.parallel.stats import moments, psum_moments
+
+
+class TrainState(NamedTuple):
+    params_G: Dict
+    state_G: Dict
+    params_D: Dict
+    state_D: Dict
+    opt_G: tuple
+    opt_D: tuple
+    ema: Dict
+    step: jax.Array
+
+
+def init_train_state(key, meta: Dict) -> TrainState:
+    kg, kd = jax.random.split(key)
+    params_G, state_G = init_generator(kg, meta)
+    params_D, state_D = init_discriminator(kd, meta)
+    opt = make_adam(tuple(meta["betas"]))
+    return TrainState(
+        params_G=params_G,
+        state_G=state_G,
+        params_D=params_D,
+        state_D=state_D,
+        opt_G=opt.init(params_G),
+        opt_D=opt.init(params_D),
+        ema=ema_init(params_G),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def _choose_segments(rng, rotate: bool, rasterized, body, p: float = 0.5):
+    """ref :352-354 — rotated phases must use rasterized labels (annotations
+    no longer align); otherwise a 50/50 coin."""
+    if rotate:
+        return rasterized
+    coin = jax.random.uniform(rng, ()) < p
+    return jnp.where(coin, rasterized, body)
+
+
+# ---------------------------------------------------------------------------
+# discriminator step
+# ---------------------------------------------------------------------------
+
+
+def d_train_step(
+    ts: TrainState,
+    data: Dict,
+    rng: jax.Array,
+    lr: jax.Array,
+    nerf_noise: jax.Array,
+    preprocessor,
+    meta: Dict,
+    phase: Dict,
+    axis_name: Optional[str] = None,
+) -> Tuple[TrainState, Dict]:
+    """(ref train_discriminator :297-318 + _train_discriminator :344-443)"""
+    policy = policy_from_meta(meta)
+    cdt = policy.compute_dtype
+    gan_lambda = meta["gan_lambda"]
+    seg_lambda = meta["segmentation_lambda"]
+    latent_lambda = meta.get("latent_lambda", 0)
+    label_dim = meta["label_dim"]
+
+    k_pre, k_z, k_g, k_seg, k_d = jax.random.split(rng, 5)
+    data = preprocessor(data, phase["rotate"], k_pre)
+
+    real_images = data["images"]
+    B = real_images.shape[0]
+    real_segments = _choose_segments(
+        k_seg, phase["rotate"], data["rasterized_segments"],
+        data["body_segments"].astype(jnp.int32))
+
+    # generate fakes (no grad to G)
+    z = jax.random.normal(k_z, (B, meta["latent_dim"]))
+    gen_out, state_G = generator_forward(
+        ts.params_G, ts.state_G, z, data, k_g, meta,
+        latent_indices=None if phase["uncond"] else data["indices"],
+        train=True, axis_name=axis_name, compute_dtype=cdt, nerf_noise=nerf_noise,
+        disable_synthesis=(phase["gen_modal"] != "rgbs"))
+    fake_images = jax.lax.stop_gradient(gen_out[phase["gen_modal"]])
+    state_G = jax.lax.stop_gradient(state_G)
+
+    def loss_fn(params_D):
+        out_real, sD = discriminator_forward(
+            params_D, ts.state_D, real_images, data, train=True, compute_dtype=cdt)
+        out_fake, sD = discriminator_forward(
+            params_D, sD, fake_images, data, train=True, compute_dtype=cdt)
+        pred_real, pred_fake = out_real["prediction"], out_fake["prediction"]
+
+        stats = {}
+        if gan_lambda > 0:
+            gan = gan_lambda * L.gan_loss_d(pred_real, pred_fake)
+            stats["real_signs"] = moments(jnp.sign(pred_real))
+        else:
+            gan = 0.0 * (jnp.sum(pred_real) + jnp.sum(pred_fake))
+
+        if seg_lambda > 0:
+            seg_real, acc_real, prob_real = L.segmentation_loss(
+                out_real["segments"], real_segments, label_dim,
+                meta.get("segmentation_loss_mode", "cross_entropy_balanced"),
+                meta.get("segmentation_weights"))
+            seg_fake, _, prob_fake = L.segmentation_loss(
+                out_fake["segments"], jnp.zeros_like(real_segments), label_dim,
+                meta.get("segmentation_loss_mode", "cross_entropy_balanced"),
+                meta.get("segmentation_weights"))
+            seg = (seg_real + seg_fake) * seg_lambda
+            stats["d_segmentation_loss"] = moments(seg)
+            stats["segmentation_acc_real"] = moments(acc_real)
+            stats["segmentation_prob_real"] = moments(prob_real)
+            stats["segmentation_prob_gen"] = moments(prob_fake)
+        else:
+            seg = 0.0 * (jnp.sum(out_real["segments"]) + jnp.sum(out_fake["segments"]))
+
+        if latent_lambda > 0:
+            gt_real = normalize_2nd_moment(data["latents"])
+            gt_gen = normalize_2nd_moment(z)
+            lat = latent_lambda * (
+                L.smooth_l1(normalize_2nd_moment(out_fake["latents"]), gt_gen)
+                + L.smooth_l1(normalize_2nd_moment(out_real["latents"]), gt_real))
+            stats["d_latent_loss"] = moments(lat)
+        else:
+            lat = 0.0 * (jnp.sum(out_real["latents"]) + jnp.sum(out_fake["latents"]))
+
+        # R1 on the real input (x4 on R1 phases, ref :392)
+        if phase["do_r1"] and meta["r1_lambda"] > 0:
+            d_fn = lambda img: discriminator_forward(
+                params_D, ts.state_D, img, data, train=False, compute_dtype=cdt)[0]
+            r1 = 4.0 * L.r1_regularization(
+                d_fn, real_images, meta["r1_lambda"], gan_lambda, seg_lambda)
+            stats["r1"] = moments(r1 / 4.0)
+        else:
+            r1 = 0.0
+
+        loss = gan + seg + lat + r1
+        stats["d_loss"] = moments(loss)
+        return loss, (sD, stats)
+
+    (d_loss, (state_D, stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(ts.params_D)
+    if axis_name is not None:
+        grads = jax.lax.pmean(grads, axis_name)
+
+    opt = make_adam(tuple(meta["betas"]))
+    params_D, opt_D = adam_step(
+        opt, ts.opt_D, grads, ts.params_D, lr, grad_clip=meta.get("grad_clip", 0.0))
+
+    stats = psum_moments(stats, axis_name)
+    return ts._replace(params_D=params_D, opt_D=opt_D, state_D=state_D, state_G=state_G), stats
+
+
+# ---------------------------------------------------------------------------
+# generator step
+# ---------------------------------------------------------------------------
+
+
+def g_train_step(
+    ts: TrainState,
+    data: Dict,
+    rng: jax.Array,
+    lr: jax.Array,
+    nerf_noise: jax.Array,
+    preprocessor,
+    meta: Dict,
+    phase: Dict,
+    axis_name: Optional[str] = None,
+) -> Tuple[TrainState, Dict]:
+    """(ref train_generator :321-341 + _train_generator :446-550)"""
+    policy = policy_from_meta(meta)
+    cdt = policy.compute_dtype
+    gan_lambda = meta["gan_lambda"] if phase["uncond"] else 0
+    seg_lambda = meta["segmentation_lambda"]
+    latent_lambda = meta.get("latent_lambda", 0)
+    label_dim = meta["label_dim"]
+
+    k_pre, k_z, k_g, k_seg, k_d = jax.random.split(rng, 5)
+    data = preprocessor(data, phase["rotate"], k_pre)
+    B = data["images"].shape[0]
+    z = jax.random.normal(k_z, (B, meta["latent_dim"]))
+
+    gt_segments = _choose_segments(
+        k_seg, phase["rotate"], data["rasterized_segments"],
+        data["body_segments"].astype(jnp.int32))
+
+    def loss_fn(params_G):
+        gen_out, sG = generator_forward(
+            params_G, ts.state_G, z, data, k_g, meta,
+            latent_indices=None if phase["uncond"] else data["indices"],
+            train=True, axis_name=axis_name, compute_dtype=cdt, nerf_noise=nerf_noise,
+            disable_synthesis=(phase["gen_modal"] != "rgbs"))
+        fake_images = gen_out[phase["gen_modal"]]
+
+        out, sD = discriminator_forward(
+            ts.params_D, ts.state_D, fake_images, data, train=True, compute_dtype=cdt)
+        pred_gen = out["prediction"]
+
+        stats = {}
+        if gan_lambda > 0:
+            gan = gan_lambda * L.gan_loss_g(pred_gen)
+            stats["gen_signs"] = moments(jnp.sign(pred_gen))
+        else:
+            gan = 0.0 * jnp.sum(pred_gen)
+
+        if seg_lambda > 0:
+            seg, _, _ = L.segmentation_loss(
+                out["segments"], gt_segments, label_dim,
+                meta.get("segmentation_loss_mode", "cross_entropy_balanced"),
+                meta.get("segmentation_weights"))
+            seg = seg * seg_lambda
+            stats["g_segmentation_loss"] = moments(seg)
+        else:
+            seg = 0.0 * jnp.sum(out["segments"])
+
+        if latent_lambda > 0:
+            if phase["uncond"]:
+                gt_lat = normalize_2nd_moment(z)
+            else:
+                gt_lat = normalize_2nd_moment(params_G["latent_pool"][data["indices"]])
+            lat = latent_lambda * L.smooth_l1(normalize_2nd_moment(out["latents"]), gt_lat)
+            stats["g_latent_loss"] = moments(lat)
+        else:
+            lat = 0.0 * jnp.sum(out["latents"]) if "latents" in out else 0.0
+
+        if not phase["uncond"] and meta.get("photometric_lambda", 0) > 0:
+            photo = meta["photometric_lambda"] * L.smooth_l1(fake_images, data["images"])
+            stats["photometric_loss"] = moments(photo)
+        else:
+            photo = 0.0
+
+        loss = gan + seg + lat + photo
+        stats["g_loss"] = moments(loss)
+        return loss, (sG, sD, stats)
+
+    (g_loss, (state_G, state_D, stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(ts.params_G)
+    if axis_name is not None:
+        grads = jax.lax.pmean(grads, axis_name)
+
+    opt = make_adam(tuple(meta["betas"]))
+    params_G, opt_G = adam_step(
+        opt, ts.opt_G, grads, ts.params_G, lr,
+        lr_multipliers=generator_lr_multipliers(ts.params_G, meta),
+        grad_clip=meta.get("grad_clip", 0.0))
+
+    ema = ema_update(ts.ema, params_G)
+    stats = psum_moments(stats, axis_name)
+    new_ts = ts._replace(
+        params_G=params_G, opt_G=opt_G, state_G=state_G, state_D=state_D,
+        ema=ema, step=ts.step + 1)
+    return new_ts, stats
+
+
+# ---------------------------------------------------------------------------
+# jit wrappers (phase flags are static -> at most 4 compiled variants)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("preprocessor", "meta_hash", "rotate", "do_r1", "uncond", "gen_modal"),
+)
+def _d_step_jit(ts, data, rng, lr, nerf_noise, preprocessor, meta_hash,
+                rotate, do_r1, uncond, gen_modal):
+    meta = _META_CACHE[meta_hash]
+    phase = {"rotate": rotate, "do_r1": do_r1, "uncond": uncond, "gen_modal": gen_modal}
+    return d_train_step(ts, data, rng, lr, nerf_noise, preprocessor, meta, phase)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("preprocessor", "meta_hash", "rotate", "do_r1", "uncond", "gen_modal"),
+)
+def _g_step_jit(ts, data, rng, lr, nerf_noise, preprocessor, meta_hash,
+                rotate, do_r1, uncond, gen_modal):
+    meta = _META_CACHE[meta_hash]
+    phase = {"rotate": rotate, "do_r1": do_r1, "uncond": uncond, "gen_modal": gen_modal}
+    return g_train_step(ts, data, rng, lr, nerf_noise, preprocessor, meta, phase)
+
+
+_META_CACHE: Dict[int, Dict] = {}
+
+
+def register_meta(meta: Dict) -> int:
+    """Static-side registry so the config dict can cross the jit boundary as
+    a hashable key.  Keyed by CONTENT (not id) so re-extracting metadata each
+    step (ref base_trainer.py:368) never retriggers compilation."""
+    key = hash(repr(sorted((k, repr(v)) for k, v in meta.items() if k != "nerf_noise")))
+    if key not in _META_CACHE:
+        _META_CACHE[key] = meta
+    return key
+
+
+def train_step_pair(ts, data, rng, meta, preprocessor, phase, lr_g, lr_d, nerf_noise):
+    """One full training iteration: D step then G step (ref run :386-397)."""
+    meta_hash = register_meta(meta)
+    k_d, k_g = jax.random.split(rng)
+    ts, d_stats = _d_step_jit(
+        ts, data, k_d, jnp.asarray(lr_d, jnp.float32), jnp.asarray(nerf_noise, jnp.float32),
+        preprocessor, meta_hash,
+        phase["rotate"], phase["do_r1"], phase["uncond"], phase["gen_modal"])
+    ts, g_stats = _g_step_jit(
+        ts, data, k_g, jnp.asarray(lr_g, jnp.float32), jnp.asarray(nerf_noise, jnp.float32),
+        preprocessor, meta_hash,
+        phase["rotate"], phase["do_r1"], phase["uncond"], phase["gen_modal"])
+    return ts, {**d_stats, **g_stats}
