@@ -16,6 +16,10 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 import jax  # noqa: E402
 
+# The env var alone is not enough here: the axon TPU plugin (JAX_PLATFORMS
+# is pre-set to 'axon' in this environment) registers itself regardless, so
+# force the CPU platform through the config API before backends initialize.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
