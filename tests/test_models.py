@@ -113,7 +113,6 @@ def test_spatial_style_mod_matches_naive_einsum(rng):
     out = syn.apply_spatial_style_mod(p, x, style)
 
     # naive oracle (the reference's (B,N,in,out) formulation, map3d_layers:60-80)
-    mod = np.asarray(x) @ 0 + 0  # placeholder
     affine = np.asarray(style) @ np.asarray(p["affine"]["w"]) + np.asarray(p["affine"]["b"])
     mod = affine + 1
     w = np.asarray(p["weight"])[None, None] * mod[..., None]  # (B,N,in,out)
@@ -232,7 +231,7 @@ def test_discriminator_heads(disc):
     assert out["segments"].shape == (2, 64, 32, 26)
     assert out["latents"].shape == (2, 32)
     # num_blocks = min(6, log2(64)-1) = 5
-    assert state["meta"]["num_blocks"] == 5
+    assert len(params["down"]) == 5
 
 
 def test_discriminator_r1_grad_is_finite(disc):

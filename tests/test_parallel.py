@@ -1,0 +1,86 @@
+"""Multi-device tests on the virtual 8-device CPU mesh: sharded training
+step (DP ≡ reference DDP), cross-replica BN, stats psum, and the driver's
+dryrun_multichip entry."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from threedhumangan_tpu.models import synthesis as syn
+from threedhumangan_tpu.parallel.mesh import create_mesh
+from threedhumangan_tpu.parallel.stats import moments, psum_moments
+
+
+def test_eight_virtual_devices_present():
+    assert jax.device_count() >= 8
+
+
+def test_sync_batch_norm_cross_replica_moments(rng):
+    """pmean'd batch moments == global batch moments (SyncBatchNorm parity)."""
+    mesh = create_mesh(n_data=8)
+    params, state = syn.init_sync_batch_norm(4)
+    x = jax.random.normal(rng, (16, 4, 4, 4)) * 3 + 2
+
+    def local(x):
+        y, new_state = syn.apply_sync_batch_norm(params, state, x, train=True, axis_name="data")
+        return y, new_state
+
+    y, new_state = jax.jit(shard_map(
+        local, mesh=mesh, in_specs=P("data"), out_specs=(P("data"), P()),
+        check_rep=False))(x)
+
+    # global normalization: full-batch mean/var
+    xr = np.asarray(x)
+    mean = xr.mean((0, 1, 2))
+    var = xr.var((0, 1, 2))
+    expected = (xr - mean) / np.sqrt(var + 1e-5)
+    np.testing.assert_allclose(np.asarray(y), expected, atol=1e-4)
+
+
+def test_psum_moments_aggregates(rng):
+    mesh = create_mesh(n_data=8)
+    x = jnp.arange(16.0).reshape(16, 1)
+
+    def local(x):
+        return psum_moments({"v": moments(x)}, "data")
+
+    out = jax.jit(shard_map(
+        local, mesh=mesh, in_specs=P("data"), out_specs=P(), check_rep=False))(x)
+    count, total, sumsq = np.asarray(out["v"])
+    assert count == 16
+    np.testing.assert_allclose(total, np.arange(16.0).sum())
+
+
+def test_sharded_grads_match_single_device(rng):
+    """pmean'd per-shard grads == full-batch grads (DDP equivalence)."""
+    mesh = create_mesh(n_data=8)
+    w = jax.random.normal(rng, (4, 4))
+    x = jax.random.normal(jax.random.PRNGKey(7), (16, 4))
+
+    def loss(w, x):
+        return jnp.mean(jnp.square(x @ w))
+
+    g_full = jax.grad(loss)(w, x)
+
+    def local(w, x):
+        g = jax.grad(loss)(w, x)
+        return jax.lax.pmean(g, "data")
+
+    g_sharded = jax.jit(shard_map(
+        local, mesh=mesh, in_specs=(P(), P("data")), out_specs=P(),
+        check_rep=False))(w, x)
+    np.testing.assert_allclose(np.asarray(g_full), np.asarray(g_sharded), atol=1e-5)
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_entry():
+    import importlib.util, os
+
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", os.path.join(os.path.dirname(__file__), "..", "__graft_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)

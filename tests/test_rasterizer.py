@@ -1,0 +1,84 @@
+"""Rasterizer tests: z-buffering, barycentrics, render/raster alignment."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from threedhumangan_tpu.ops.rasterize import rasterize_mesh
+
+
+def _single_triangle(z=1.0):
+    # big triangle covering the image center
+    verts = jnp.asarray([[[-0.8, -0.8, z], [0.8, -0.8, z], [0.0, 0.9, z]]])
+    faces = jnp.asarray([[0, 1, 2]], jnp.int32)
+    return verts, faces
+
+
+def test_single_triangle_coverage():
+    verts, faces = _single_triangle()
+    p2f, bary, zbuf = rasterize_mesh(verts, faces, (16, 16), face_chunk=4, pixel_chunk=64)
+    p2f = np.asarray(p2f)[0]
+    assert p2f[8, 8] == 0          # center covered
+    assert p2f[0, 0] == -1         # corner background
+    np.testing.assert_allclose(np.asarray(zbuf)[0][p2f == 0], 1.0, atol=1e-5)
+    # barycentrics sum to 1 where covered
+    b = np.asarray(bary)[0][p2f == 0]
+    np.testing.assert_allclose(b.sum(-1), 1.0, atol=1e-5)
+    assert (b >= -1e-6).all()
+
+
+def test_zbuffer_picks_closer_face():
+    # two stacked triangles; the closer one (z=0.5) must win
+    v1, _ = _single_triangle(z=1.0)
+    v2, _ = _single_triangle(z=0.5)
+    verts = jnp.concatenate([v1, v2], axis=1)
+    faces = jnp.asarray([[0, 1, 2], [3, 4, 5]], jnp.int32)
+    p2f, bary, zbuf = rasterize_mesh(verts, faces, (8, 8), face_chunk=1, pixel_chunk=16)
+    assert np.asarray(p2f)[0, 4, 4] == 1
+    np.testing.assert_allclose(np.asarray(zbuf)[0, 4, 4], 0.5, atol=1e-6)
+
+
+def test_rectangular_image_aspect():
+    # x spans ±W/H: for W=8, H=16, a triangle at x≈0.4 is inside (span=0.5)
+    verts = jnp.asarray([[[0.2, -0.5, 1.0], [0.45, -0.5, 1.0], [0.3, 0.5, 1.0]]])
+    faces = jnp.asarray([[0, 1, 2]], jnp.int32)
+    p2f, _, _ = rasterize_mesh(verts, faces, (16, 8), face_chunk=4, pixel_chunk=32)
+    cover = (np.asarray(p2f)[0] >= 0)
+    assert cover.any()
+    # covered pixels lie in the right half of the image
+    assert not cover[:, :4].any()
+
+
+def test_degenerate_faces_never_win():
+    verts = jnp.asarray([[[-0.8, -0.8, 1.0], [0.8, -0.8, 1.0], [0.0, 0.9, 1.0],
+                          [0.0, 0.0, 0.1]]])
+    faces = jnp.asarray([[0, 1, 2], [3, 3, 3]], jnp.int32)  # degenerate 2nd
+    p2f, _, _ = rasterize_mesh(verts, faces, (8, 8), face_chunk=2, pixel_chunk=16)
+    assert (np.asarray(p2f) != 1).all()
+
+
+def test_raster_aligns_with_ray_grid():
+    """The core self-consistency property: a triangle at known NDC coords
+    covers exactly the pixels whose ray-grid coordinates fall inside it."""
+    H, W = 32, 16
+    span = W / H
+    verts = jnp.asarray([[[-span * 0.5, -0.5, 1.0], [span * 0.5, -0.5, 1.0],
+                          [0.0, 0.5, 1.0]]])
+    faces = jnp.asarray([[0, 1, 2]], jnp.int32)
+    p2f, _, _ = rasterize_mesh(verts, faces, (H, W))
+    cover = np.asarray(p2f)[0] >= 0
+
+    xs = np.linspace(-span, span, W)
+    ys = np.linspace(-1, 1, H)
+    gx, gy = np.meshgrid(xs, ys)
+    a, b, c = np.asarray(verts)[0, :, :2]
+    # manual point-in-triangle
+    def edge(p0, p1, x, y):
+        return (p1[0] - p0[0]) * (y - p0[1]) - (p1[1] - p0[1]) * (x - p0[0])
+    e0 = edge(a, b, gx, gy)
+    e1 = edge(b, c, gx, gy)
+    e2 = edge(c, a, gx, gy)
+    inside = ((e0 >= 0) & (e1 >= 0) & (e2 >= 0)) | ((e0 <= 0) & (e1 <= 0) & (e2 <= 0))
+    # allow boundary-pixel disagreement
+    disagree = (cover != inside).sum()
+    assert disagree <= 0.02 * cover.size + 8

@@ -1,0 +1,95 @@
+"""Fused Pallas ray-march kernel vs the XLA reference formulation
+(interpret mode on CPU; the same kernel compiles for TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from threedhumangan_tpu.models import volume_rendering as vr
+from threedhumangan_tpu.models.siren import apply_coordconcat_siren, init_coordconcat_siren
+from threedhumangan_tpu.ops.raymarch import fused_field_render, pack_field_inputs
+
+
+@pytest.mark.parametrize("white_back,last_back", [(True, False), (False, True)])
+def test_fused_kernel_matches_xla_path(rng, white_back, last_back):
+    B, R, S = 2, 8, 4
+    H, G, F, NB = 16, 31, 8, 4
+    P = R * S
+    scale = 2.0 / 2.85
+
+    params = init_coordconcat_siren(rng, 3, H, G, F, NB)
+    k1, k2, k3, k4, k5 = jax.random.split(rng, 5)
+    points = jax.random.normal(k1, (B, P, 3))
+    geo = jax.random.normal(k2, (B, P, G)) * 0.3
+    dirs = jax.random.normal(k3, (B, P, 3))
+    freq = jax.random.normal(k4, (B, NB * H)) * 0.1
+    phase = jax.random.normal(k5, (B, NB * H)) * 0.1
+    z_vals = jnp.sort(jax.random.uniform(k1, (B, R, S)) + 1.0, axis=-1)
+
+    # XLA reference path
+    field = apply_coordconcat_siren(
+        params, points, freq, phase, geo, dirs, input_scaler=scale)
+    field = field.reshape(B, R, S, F + 4)
+    ref_out, ref_depth, _ = vr.ray_integration(
+        field, z_vals[..., None], noise_std=0.0,
+        white_back=white_back, last_back=last_back, clamp_mode="relu")
+
+    # fused kernel (interpret mode, f32)
+    packed = pack_field_inputs(points, geo, dirs, scale)
+    out, depth = fused_field_render(
+        params, packed, freq, phase, z_vals, num_steps=S, tile_rays=4,
+        white_back=white_back, last_back=last_back,
+        compute_dtype=jnp.float32, interpret=True)
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(depth), np.asarray(ref_depth), rtol=2e-4, atol=2e-5)
+
+
+def test_generator_pallas_flag_matches_xla(rng):
+    from threedhumangan_tpu import configs
+    from threedhumangan_tpu.data.dataset import SyntheticSHHQDataset, iterate_batches
+    from threedhumangan_tpu.data.preprocessor import get_preprocessor
+    from threedhumangan_tpu.models.generator import generator_forward, init_generator
+    from threedhumangan_tpu.models.smpl import synthetic_smpl_model
+
+    meta = dict(configs.extract_metadata(configs.MAP3DBN_TINY, 0))
+    meta["nerf_noise"] = 0
+    meta["perturb_rays"] = False
+    smpl = synthetic_smpl_model(num_verts=96, num_faces=64)
+    ds = SyntheticSHHQDataset(smpl_model=smpl, **meta)
+    pre = get_preprocessor(meta, smpl_model=smpl)
+    batch = next(iterate_batches(ds, 1, shuffle=False))
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    rng2 = jax.random.PRNGKey(0)
+    cond = pre(batch, rotate=False, rng=rng2)
+    params, state = init_generator(rng2, meta)
+    z = jax.random.normal(rng2, (1, meta["latent_dim"]))
+
+    out_xla, _ = generator_forward(params, state, z, cond, rng2, meta)
+
+    meta_p = dict(meta)
+    meta_p["pallas_field"] = True
+    meta_p["pallas_interpret"] = True
+    meta_p["pallas_tile_rays"] = 16
+    # interpret mode flows through fused_field_render's interpret kwarg via
+    # the generator only when set; patch directly for the CPU test:
+    import threedhumangan_tpu.ops.raymarch as rm
+    orig = rm.fused_field_render
+
+    def interp_render(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    rm.fused_field_render = interp_render
+    try:
+        out_pallas, _ = generator_forward(params, state, z, cond, rng2, meta_p)
+    finally:
+        rm.fused_field_render = orig
+
+    np.testing.assert_allclose(
+        np.asarray(out_pallas["rgbs_render"]), np.asarray(out_xla["rgbs_render"]),
+        rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(out_pallas["rgbs"]), np.asarray(out_xla["rgbs"]),
+        rtol=2e-2, atol=2e-3)

@@ -172,6 +172,7 @@ def init_discriminator(key, meta: Dict) -> Tuple[Dict, Dict]:
     p, s, m = init_resblock(keys[ki], 2 * channels[1], 64, 1)
     ki += 1
     params["up"].append(p); state["up"].append(s); block_meta["up"].append(m)
+    del block_meta  # structure is re-derived from param shapes at apply time
 
     params["layer_up_last"] = _init_conv(keys[ki], 1, 1, 64, 1); ki += 1
     params["output_layer"] = _init_conv(keys[ki], 1, 1, 64, output_dim, weight_scale=0.25); ki += 1
@@ -181,7 +182,6 @@ def init_discriminator(key, meta: Dict) -> Tuple[Dict, Dict]:
     bw = meta["gen_width"] // downsample
     params["latent_layer"] = _init_conv(keys[ki], bh, bw, channels[num_blocks], latent_dim)
 
-    state["meta"] = block_meta  # static python dict, threaded alongside
     return params, state
 
 
@@ -193,36 +193,46 @@ def discriminator_forward(
     alpha: float = 1.0,
     train: bool = False,
     compute_dtype=jnp.float32,
+    semantic_dim: int = 0,
     **_ignored,
 ) -> Tuple[Dict, Dict]:
     """(ref forward :125-160).  images: NHWC in [-1, 1].
 
     ``conditions``/``alpha`` accepted-but-unused for API parity (ref :125).
+    Block structure (up/down, first, shortcut) is re-derived from param
+    shapes at trace time — static config never rides the state pytree.
     Returns (dict with 'prediction' (B,H,W,1), 'segments' (B,H,W,label_dim),
     'latents' (B,latent_dim)), plus new spectral-norm state.
     """
-    bm = state["meta"]
-    num_blocks = bm["num_blocks"]
-    new_state = {"down": [], "up": [], "meta": bm}
+    num_blocks = len(params["down"])
+    latent_dim = params["latent_layer"]["w"].shape[-1]
+    new_state = {"down": [], "up": []}
+
+    def block_meta(p, up_or_down, first):
+        return {"up_or_down": up_or_down, "first": first,
+                "learned_shortcut": "conv_s" in p}
 
     x = images
     encoder_res = []
     for i in range(num_blocks):
-        x, s = apply_resblock(params["down"][i], state["down"][i], bm["down"][i], x, train, compute_dtype)
+        bm = block_meta(params["down"][i], -1, i == 0)
+        x, s = apply_resblock(params["down"][i], state["down"][i], bm, x, train, compute_dtype)
         encoder_res.append(x)
         new_state["down"].append(s)
 
     if min(x.shape[1], x.shape[2]) > 1:
         latents = _conv(params["latent_layer"], x, padding="VALID", compute_dtype=compute_dtype)
-        latents = latents.reshape(x.shape[0], bm["latent_dim"])
+        latents = latents.reshape(x.shape[0], latent_dim)
     else:
-        latents = jnp.zeros((x.shape[0], bm["latent_dim"]), x.dtype)
+        latents = jnp.zeros((x.shape[0], latent_dim), x.dtype)
 
-    x, s = apply_resblock(params["up"][0], state["up"][0], bm["up"][0], x, train, compute_dtype)
+    bm = block_meta(params["up"][0], 1, False)
+    x, s = apply_resblock(params["up"][0], state["up"][0], bm, x, train, compute_dtype)
     new_state["up"].append(s)
     for i in range(1, num_blocks):
         x = jnp.concatenate([encoder_res[-i - 1], x], axis=-1)
-        x, s = apply_resblock(params["up"][i], state["up"][i], bm["up"][i], x, train, compute_dtype)
+        bm = block_meta(params["up"][i], 1, False)
+        x, s = apply_resblock(params["up"][i], state["up"][i], bm, x, train, compute_dtype)
         new_state["up"].append(s)
 
     prediction = _conv(params["layer_up_last"], x, compute_dtype=compute_dtype)
@@ -231,8 +241,8 @@ def discriminator_forward(
     outputs = {
         "prediction": prediction,
         "latents": latents,
-        "segments": heads[..., bm["semantic_dim"]:],
+        "segments": heads[..., semantic_dim:],
     }
-    if bm["semantic_dim"] > 0:
-        outputs["semantics"] = heads[..., : bm["semantic_dim"]]
+    if semantic_dim > 0:
+        outputs["semantics"] = heads[..., :semantic_dim]
     return outputs, new_state

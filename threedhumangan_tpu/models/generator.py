@@ -167,23 +167,46 @@ def render(
                              fk_matrices, lbs_weights,
                              legacy_mode=meta.get("legacy_mode", False)))
 
-    # --- field evaluation (hot path) ---
-    field_out = field_apply(
-        params["neural_field"], points, freq, phase, modulation, ray_dirs_exp,
-        input_scaler=2.0 / meta["side_length"], compute_dtype=compute_dtype)
-
     feature_dim = meta["feature_dim"]
-    field_out = field_out.reshape(B, render_w * render_h, num_steps, feature_dim + 4)
-
-    # --- integration (hierarchical_sample is off in all shipped configs;
-    # sample_pdf is available in volume_rendering for parity) ---
     noise_std = meta.get("nerf_noise", 0.5) if nerf_noise is None else nerf_noise
-    render_out, depths, weights = vr.ray_integration(
-        field_out, z_vals,
-        noise_std=noise_std, rng=k_noise if not _is_zero(noise_std) else None,
-        white_back=meta.get("white_back", False),
-        last_back=meta.get("last_back", False),
-        clamp_mode=meta["clamp_mode"])
+
+    use_pallas = (
+        meta.get("pallas_field", False)
+        and _is_zero(noise_std)
+        and meta["clamp_mode"] == "relu"
+    )
+    if use_pallas:
+        # fused Pallas ray-march: field + integration in VMEM per ray tile
+        # (forward-only; training keeps the XLA path below for autodiff)
+        from threedhumangan_tpu.ops.raymarch import fused_field_render, pack_field_inputs
+
+        packed = pack_field_inputs(points, modulation, ray_dirs_exp, 2.0 / meta["side_length"])
+        render_out, depths = fused_field_render(
+            params["neural_field"], packed, freq, phase,
+            z_vals.reshape(B, render_w * render_h, num_steps),
+            num_steps=num_steps,
+            tile_rays=meta.get("pallas_tile_rays", 64),
+            white_back=meta.get("white_back", False),
+            last_back=meta.get("last_back", False),
+            compute_dtype=compute_dtype,
+        )
+        weights = None
+    else:
+        # --- field evaluation (hot path, XLA formulation) ---
+        field_out = field_apply(
+            params["neural_field"], points, freq, phase, modulation, ray_dirs_exp,
+            input_scaler=2.0 / meta["side_length"], compute_dtype=compute_dtype)
+
+        field_out = field_out.reshape(B, render_w * render_h, num_steps, feature_dim + 4)
+
+        # --- integration (hierarchical_sample is off in all shipped configs;
+        # sample_pdf is available in volume_rendering for parity) ---
+        render_out, depths, weights = vr.ray_integration(
+            field_out, z_vals,
+            noise_std=noise_std, rng=k_noise if not _is_zero(noise_std) else None,
+            white_back=meta.get("white_back", False),
+            last_back=meta.get("last_back", False),
+            clamp_mode=meta["clamp_mode"])
 
     render_out = render_out.reshape(B, render_h, render_w, feature_dim + 3)
     rgb_render = render_out[..., :3] * 2.0 - 1.0

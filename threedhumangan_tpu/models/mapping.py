@@ -75,8 +75,12 @@ def _init_fc(key, in_features, out_features, lr_multiplier=1.0, bias_init=0.0):
 
 
 def _apply_fc(p, x, activation="linear", compute_dtype=jnp.float32):
-    w = (p["w"] * p["w_gain"]).astype(compute_dtype)
-    b = p["b"] * p["b_gain"]
+    # gains are equalized-lr constants, not trainables (stop_gradient keeps
+    # their grads zero so Adam never moves them)
+    w_gain = jax.lax.stop_gradient(p["w_gain"])
+    b_gain = jax.lax.stop_gradient(p["b_gain"])
+    w = (p["w"] * w_gain).astype(compute_dtype)
+    b = p["b"] * b_gain
     y = jnp.dot(x.astype(compute_dtype), w.T, preferred_element_type=jnp.float32)
     return bias_act(y, b.astype(jnp.float32), axis=-1, act=activation)
 
@@ -115,20 +119,16 @@ def init_two_part_mapping_network(
         superres.append(_init_fc(keys[ki], sdims[i], sdims[i + 1], lr_multiplier))
         ki += 1
 
-    return {
-        "trunk": trunk,
-        "implicit": implicit,
-        "superres": superres,
-        "meta": {"num_ws": num_ws, "branch_layers": branch_layers},
-    }
+    # note: only array leaves here — static config must stay out of the
+    # params pytree or jax.grad rejects the integer leaves
+    return {"trunk": trunk, "implicit": implicit, "superres": superres}
 
 
 def apply_two_part_mapping_network(
-    params: Dict, z: jax.Array, compute_dtype=jnp.float32
+    params: Dict, z: jax.Array, compute_dtype=jnp.float32, num_ws: int = 1
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (implicit_styles (B, implicit_dim), synthesis_styles
     (B, num_ws, w_dim))."""
-    meta = params["meta"]
     x = normalize_2nd_moment(z.astype(jnp.float32))
     for layer in params["trunk"]:
         x = _apply_fc(layer, x, "lrelu", compute_dtype)
@@ -143,7 +143,6 @@ def apply_two_part_mapping_network(
     for layer in params["superres"]:
         xs = _apply_fc(layer, xs, "lrelu", compute_dtype)
 
-    num_ws = meta["num_ws"]
     if num_ws is not None:
         xs = jnp.broadcast_to(xs[:, None, :], (xs.shape[0], num_ws, xs.shape[-1]))
     return xi, xs

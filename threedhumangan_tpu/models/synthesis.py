@@ -398,7 +398,7 @@ def init_synthesis_style_input(key, input_dim, latent_dim, output_dim, num_layer
     network = [init_conv1x1_kaiming_leaky(keys[1], latent_dim * 2, output_dim)]
     for i in range(1, num_layers - 1):
         network.append(init_conv1x1_kaiming_leaky(keys[1 + i], output_dim, output_dim))
-    return {"from_coords": from_coords, "network": network, "latent_dim": latent_dim}
+    return {"from_coords": from_coords, "network": network}
 
 
 def apply_synthesis_style_input(p, coords, latent, compute_dtype=jnp.float32):

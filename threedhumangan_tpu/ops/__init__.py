@@ -18,6 +18,8 @@ from threedhumangan_tpu.ops.bias_act import activation_funcs, bias_act
 from threedhumangan_tpu.ops.conv2d_resample import conv2d, conv2d_resample, fma
 from threedhumangan_tpu.ops.filtered_lrelu import filtered_lrelu
 from threedhumangan_tpu.ops.knn import knn_gather, knn_points
+from threedhumangan_tpu.ops.rasterize import rasterize_mesh
+from threedhumangan_tpu.ops.raymarch import fused_field_render, pack_field_inputs
 from threedhumangan_tpu.ops.upfirdn2d import (
     downsample2d,
     filter2d,
@@ -25,3 +27,17 @@ from threedhumangan_tpu.ops.upfirdn2d import (
     upfirdn2d,
     upsample2d,
 )
+
+
+def grid_sample(img, grid):
+    """Bilinear grid sampling, zero padding (replaces grid_sample_gradfix —
+    ref ops/grid_sample_gradfix.py:55-75; JAX gathers are natively
+    double-differentiable).  img NHWC; grid (B, H, W, 2) xy in [-1, 1]."""
+    from threedhumangan_tpu.data.augment import grid_sample_bilinear
+
+    return grid_sample_bilinear(img, grid)
+
+
+def fused_leaky_relu(x, bias=None, negative_slope=0.2, scale=2 ** 0.5):
+    """rosinality fused bias+lrelu (ref ops/fused_act.py:19-86 public op)."""
+    return bias_act(x, bias, axis=-1, act="lrelu", alpha=negative_slope, gain=scale)

@@ -68,6 +68,8 @@ class Trainer:
         self.meta = configs.extract_metadata(config, 0)
         self.smpl_model = smpl_model
         self.collector = Collector(".*")
+        self.ada_collector = Collector("real_signs.*")
+        self.ada_p = 0.0  # ADA controller state (ref base_trainer.py:133-145)
         self.step = 0
         self._meta_cache_step: Optional[int] = None
         self._stage_meta: Optional[Dict] = None
@@ -118,6 +120,19 @@ class Trainer:
             self._stage_meta[k] = meta[k]
         return self._stage_meta
 
+    # -- ADA controller (ref reset_augment/update_augment :133-145) ------------
+
+    def update_augment(self, meta: Dict, stats) -> None:
+        """Nudge ada_p by sign(E[sign(D(real))] - target) * delta."""
+        self.ada_collector.update(jax.device_get(stats))
+        if "real_signs" not in self.ada_collector.names():
+            return
+        delta = meta["ada_interval"] * meta["batch_size"] / (meta["ada_kimg"] * 1000)
+        signs = self.ada_collector["real_signs"]
+        self.ada_p = float(np.clip(
+            self.ada_p + np.sign(signs - meta["ada_target"]) * delta, 0.0, 1.0))
+        self.ada_collector.reset()
+
     # -- logging ----------------------------------------------------------------
 
     def _log(self, scalars: Dict[str, float]):
@@ -153,8 +168,13 @@ class Trainer:
                 self.rng, step_key = jax.random.split(self.rng)
                 self.ts, stats = train_step_pair(
                     self.ts, batch, step_key, meta, self.preprocessor, phase,
-                    lr_g=meta["gen_lr"], lr_d=meta["disc_lr"], nerf_noise=nerf_noise)
+                    lr_g=meta["gen_lr"], lr_d=meta["disc_lr"], nerf_noise=nerf_noise,
+                    ada_p=self.ada_p)
                 self.step += 1
+
+                # ADA p update (ref run :405-406; interval 0 disables)
+                if meta.get("ada_interval", 0) and self.step % meta["ada_interval"] == 0:
+                    self.update_augment(meta, stats)
 
                 if self.rank == 0 and self.step % 10 == 0:
                     self.collector.update(jax.device_get(stats))

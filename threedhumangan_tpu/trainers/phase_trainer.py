@@ -81,6 +81,18 @@ def _choose_segments(rng, rotate: bool, rasterized, body, p: float = 0.5):
 # ---------------------------------------------------------------------------
 
 
+def _maybe_augment(images, rng, meta, ada_p):
+    """Apply ADA at probability ada_p to a D input batch.  The reference
+    wires the controller but never applies the pipe (SURVEY.md §5 caveat);
+    here application is correct (both real and fake inputs) and statically
+    disabled when ada_interval == 0, preserving shipped-config parity."""
+    if not meta.get("ada_interval", 0):
+        return images
+    from threedhumangan_tpu.data.augment import augment_pipe
+
+    return augment_pipe(images, rng, meta.get("ada_aug", {}), ada_p)
+
+
 def d_train_step(
     ts: TrainState,
     data: Dict,
@@ -91,6 +103,7 @@ def d_train_step(
     meta: Dict,
     phase: Dict,
     axis_name: Optional[str] = None,
+    ada_p: jax.Array = 0.0,
 ) -> Tuple[TrainState, Dict]:
     """(ref train_discriminator :297-318 + _train_discriminator :344-443)"""
     policy = policy_from_meta(meta)
@@ -100,10 +113,10 @@ def d_train_step(
     latent_lambda = meta.get("latent_lambda", 0)
     label_dim = meta["label_dim"]
 
-    k_pre, k_z, k_g, k_seg, k_d = jax.random.split(rng, 5)
+    k_pre, k_z, k_g, k_seg, k_d, k_aug1, k_aug2 = jax.random.split(rng, 7)
     data = preprocessor(data, phase["rotate"], k_pre)
 
-    real_images = data["images"]
+    real_images = _maybe_augment(data["images"], k_aug1, meta, ada_p)
     B = real_images.shape[0]
     real_segments = _choose_segments(
         k_seg, phase["rotate"], data["rasterized_segments"],
@@ -117,6 +130,7 @@ def d_train_step(
         train=True, axis_name=axis_name, compute_dtype=cdt, nerf_noise=nerf_noise,
         disable_synthesis=(phase["gen_modal"] != "rgbs"))
     fake_images = jax.lax.stop_gradient(gen_out[phase["gen_modal"]])
+    fake_images = _maybe_augment(fake_images, k_aug2, meta, ada_p)
     state_G = jax.lax.stop_gradient(state_G)
 
     def loss_fn(params_D):
@@ -201,6 +215,7 @@ def g_train_step(
     meta: Dict,
     phase: Dict,
     axis_name: Optional[str] = None,
+    ada_p: jax.Array = 0.0,
 ) -> Tuple[TrainState, Dict]:
     """(ref train_generator :321-341 + _train_generator :446-550)"""
     policy = policy_from_meta(meta)
@@ -210,7 +225,7 @@ def g_train_step(
     latent_lambda = meta.get("latent_lambda", 0)
     label_dim = meta["label_dim"]
 
-    k_pre, k_z, k_g, k_seg, k_d = jax.random.split(rng, 5)
+    k_pre, k_z, k_g, k_seg, k_d, k_aug = jax.random.split(rng, 6)
     data = preprocessor(data, phase["rotate"], k_pre)
     B = data["images"].shape[0]
     z = jax.random.normal(k_z, (B, meta["latent_dim"]))
@@ -226,9 +241,10 @@ def g_train_step(
             train=True, axis_name=axis_name, compute_dtype=cdt, nerf_noise=nerf_noise,
             disable_synthesis=(phase["gen_modal"] != "rgbs"))
         fake_images = gen_out[phase["gen_modal"]]
+        fake_aug = _maybe_augment(fake_images, k_aug, meta, ada_p)
 
         out, sD = discriminator_forward(
-            ts.params_D, ts.state_D, fake_images, data, train=True, compute_dtype=cdt)
+            ts.params_D, ts.state_D, fake_aug, data, train=True, compute_dtype=cdt)
         pred_gen = out["prediction"]
 
         stats = {}
@@ -295,22 +311,24 @@ def g_train_step(
     jax.jit,
     static_argnames=("preprocessor", "meta_hash", "rotate", "do_r1", "uncond", "gen_modal"),
 )
-def _d_step_jit(ts, data, rng, lr, nerf_noise, preprocessor, meta_hash,
+def _d_step_jit(ts, data, rng, lr, nerf_noise, ada_p, preprocessor, meta_hash,
                 rotate, do_r1, uncond, gen_modal):
     meta = _META_CACHE[meta_hash]
     phase = {"rotate": rotate, "do_r1": do_r1, "uncond": uncond, "gen_modal": gen_modal}
-    return d_train_step(ts, data, rng, lr, nerf_noise, preprocessor, meta, phase)
+    return d_train_step(ts, data, rng, lr, nerf_noise, preprocessor, meta, phase,
+                        ada_p=ada_p)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("preprocessor", "meta_hash", "rotate", "do_r1", "uncond", "gen_modal"),
 )
-def _g_step_jit(ts, data, rng, lr, nerf_noise, preprocessor, meta_hash,
+def _g_step_jit(ts, data, rng, lr, nerf_noise, ada_p, preprocessor, meta_hash,
                 rotate, do_r1, uncond, gen_modal):
     meta = _META_CACHE[meta_hash]
     phase = {"rotate": rotate, "do_r1": do_r1, "uncond": uncond, "gen_modal": gen_modal}
-    return g_train_step(ts, data, rng, lr, nerf_noise, preprocessor, meta, phase)
+    return g_train_step(ts, data, rng, lr, nerf_noise, preprocessor, meta, phase,
+                        ada_p=ada_p)
 
 
 _META_CACHE: Dict[int, Dict] = {}
@@ -326,16 +344,18 @@ def register_meta(meta: Dict) -> int:
     return key
 
 
-def train_step_pair(ts, data, rng, meta, preprocessor, phase, lr_g, lr_d, nerf_noise):
+def train_step_pair(ts, data, rng, meta, preprocessor, phase, lr_g, lr_d,
+                    nerf_noise, ada_p: float = 0.0):
     """One full training iteration: D step then G step (ref run :386-397)."""
     meta_hash = register_meta(meta)
     k_d, k_g = jax.random.split(rng)
+    ada = jnp.asarray(ada_p, jnp.float32)
     ts, d_stats = _d_step_jit(
         ts, data, k_d, jnp.asarray(lr_d, jnp.float32), jnp.asarray(nerf_noise, jnp.float32),
-        preprocessor, meta_hash,
+        ada, preprocessor, meta_hash,
         phase["rotate"], phase["do_r1"], phase["uncond"], phase["gen_modal"])
     ts, g_stats = _g_step_jit(
         ts, data, k_g, jnp.asarray(lr_g, jnp.float32), jnp.asarray(nerf_noise, jnp.float32),
-        preprocessor, meta_hash,
+        ada, preprocessor, meta_hash,
         phase["rotate"], phase["do_r1"], phase["uncond"], phase["gen_modal"])
     return ts, {**d_stats, **g_stats}
