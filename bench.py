@@ -41,6 +41,10 @@ def main():
     meta["dataset_length"] = BATCH
     meta["nerf_noise"] = 0.0
     meta["perturb_rays"] = False
+    # fused Pallas ray-march for the field (ops/raymarch.py) on TPU; the
+    # XLA path runs everywhere else
+    meta["pallas_field"] = jax.default_backend() not in ("cpu",)
+    meta["pallas_tile_rays"] = 64
 
     smpl = synthetic_smpl_model(num_verts=6890, num_faces=13776)
     ds = SyntheticSHHQDataset(smpl_model=smpl, **meta)

@@ -75,7 +75,7 @@ def test_sharded_grads_match_single_device(rng):
     np.testing.assert_allclose(np.asarray(g_full), np.asarray(g_sharded), atol=1e-5)
 
 
-@pytest.mark.slow
+@pytest.mark.filterwarnings("ignore")
 def test_dryrun_multichip_entry():
     import importlib.util, os
 

@@ -40,7 +40,7 @@ def test_fused_kernel_matches_xla_path(rng, white_back, last_back):
     out, depth = fused_field_render(
         params, packed, freq, phase, z_vals, num_steps=S, tile_rays=4,
         white_back=white_back, last_back=last_back,
-        compute_dtype=jnp.float32, interpret=True)
+        compute_dtype=jnp.float32, interpret=True, exact_sin=True)
 
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(np.asarray(depth), np.asarray(ref_depth), rtol=2e-4, atol=2e-5)
@@ -56,6 +56,7 @@ def test_generator_pallas_flag_matches_xla(rng):
     meta = dict(configs.extract_metadata(configs.MAP3DBN_TINY, 0))
     meta["nerf_noise"] = 0
     meta["perturb_rays"] = False
+    meta["fast_math"] = False  # strict XLA-vs-kernel comparison
     smpl = synthetic_smpl_model(num_verts=96, num_faces=64)
     ds = SyntheticSHHQDataset(smpl_model=smpl, **meta)
     pre = get_preprocessor(meta, smpl_model=smpl)
@@ -79,6 +80,7 @@ def test_generator_pallas_flag_matches_xla(rng):
 
     def interp_render(*a, **kw):
         kw["interpret"] = True
+        kw["exact_sin"] = True
         return orig(*a, **kw)
 
     rm.fused_field_render = interp_render
@@ -93,3 +95,33 @@ def test_generator_pallas_flag_matches_xla(rng):
     np.testing.assert_allclose(
         np.asarray(out_pallas["rgbs"]), np.asarray(out_xla["rgbs"]),
         rtol=2e-2, atol=2e-3)
+
+
+def test_fast_sin_accuracy(rng):
+    from threedhumangan_tpu.ops.raymarch import fast_sin
+
+    x = jnp.linspace(-120.0, 120.0, 200001)
+    err = jnp.max(jnp.abs(fast_sin(x) - jnp.sin(x)))
+    assert float(err) < 5e-5, float(err)
+
+
+def test_fused_kernel_fast_sin_close(rng):
+    """fast_sin path stays close to exact on realistic conditioning (small
+    raw freq -> args O(30))."""
+    B, R, S = 1, 8, 4
+    H, G, F, NB = 16, 31, 8, 4
+    P = R * S
+    params = init_coordconcat_siren(rng, 3, H, G, F, NB)
+    k1, k2, k3, k4, k5 = jax.random.split(rng, 5)
+    points = 0.5 * jax.random.normal(k1, (B, P, 3))
+    geo = 0.3 * jax.random.normal(k2, (B, P, G))
+    dirs = jax.random.normal(k3, (B, P, 3))
+    freq = 0.1 * jax.random.normal(k4, (B, NB * H))
+    phase = 0.1 * jax.random.normal(k5, (B, NB * H))
+    z_vals = jnp.sort(jax.random.uniform(k1, (B, R, S)) + 1.0, axis=-1)
+    packed = pack_field_inputs(points, geo, dirs, 0.7)
+    kw = dict(num_steps=S, tile_rays=4, white_back=True, compute_dtype=jnp.float32,
+              interpret=True)
+    out_e, _ = fused_field_render(params, packed, freq, phase, z_vals, exact_sin=True, **kw)
+    out_f, _ = fused_field_render(params, packed, freq, phase, z_vals, exact_sin=False, **kw)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_e), rtol=1e-2, atol=1e-3)

@@ -1,0 +1,109 @@
+"""Utility-layer tests: debug helpers, EMA, checkpointing, stats, CIPS."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from threedhumangan_tpu.models import cips_layers
+from threedhumangan_tpu.parallel.stats import Collector, moments
+from threedhumangan_tpu.utils import checkpoint as ckpt
+from threedhumangan_tpu.utils import debug
+from threedhumangan_tpu.utils.ema import ema_init, ema_update
+from threedhumangan_tpu.utils.misc import normalize_2nd_moment, positional_encoding
+
+
+def test_assert_shape():
+    x = jnp.zeros((2, 3, 4))
+    debug.assert_shape(x, [2, None, 4])
+    with pytest.raises(AssertionError):
+        debug.assert_shape(x, [2, 3])
+    with pytest.raises(AssertionError):
+        debug.assert_shape(x, [2, 3, 5])
+
+
+def test_count_params_and_summary():
+    tree = {"a": {"w": jnp.zeros((3, 4)), "b": jnp.zeros((4,))}, "c": jnp.zeros((5,))}
+    assert debug.count_params(tree) == 12 + 4 + 5
+    out = debug.print_module_summary(tree, max_depth=1)
+    assert "21" in out
+
+
+def test_ema_warmup_decay():
+    params = {"w": jnp.zeros((3,))}
+    ema = ema_init(params)
+    new_params = {"w": jnp.ones((3,))}
+    ema = ema_update(ema, new_params, decay=0.999)
+    # first update: decay = min(0.999, 2/11)
+    expected = 1.0 - 2.0 / 11.0
+    np.testing.assert_allclose(np.asarray(ema["params"]["w"]), expected, rtol=1e-5)
+
+
+def test_checkpoint_roundtrip_and_prune(tmp_path):
+    d = str(tmp_path)
+    for step in (1000, 2000, 5000):
+        ckpt.save_checkpoint(d, step, {"x": {"w": np.ones((2,)) * step}}, keep_interval=5000)
+    # pruning on save: only multiples of 5000 survive except the newest write
+    latest = ckpt.latest_checkpoint(d)
+    payload = ckpt.load_checkpoint(latest)
+    assert payload["step"] == 5000
+    files = sorted(os.listdir(d))
+    assert files == ["00005000_checkpoint.pkl"]
+
+
+def test_collector_moments():
+    c = Collector(".*")
+    c.update({"loss": np.asarray(moments(jnp.asarray([1.0, 2.0, 3.0])))})
+    c.update({"loss": np.asarray(moments(jnp.asarray([5.0])))})
+    assert c.num("loss") == 4
+    np.testing.assert_allclose(c["loss"], 11.0 / 4)
+    assert c.std("loss") > 0
+
+
+def test_positional_encoding_shape():
+    x = jnp.ones((2, 3))
+    enc = positional_encoding(x, L=4)
+    assert enc.shape == (2, 2 * 4 * 3)
+
+
+def test_normalize_2nd_moment():
+    x = jnp.asarray([[3.0, 4.0]])
+    y = normalize_2nd_moment(x)
+    np.testing.assert_allclose(float(jnp.mean(jnp.square(y))), 1.0, rtol=1e-4)
+
+
+def test_cips_modulated_linear(rng):
+    p = cips_layers.init_modulated_linear(rng, 6, 8, 4)
+    x = jax.random.normal(rng, (2, 10, 6))
+    s = jax.random.normal(rng, (2, 4))
+    out = cips_layers.apply_modulated_linear(p, x, s)
+    assert out.shape == (2, 10, 8)
+    # demodulation: per-sample effective weight columns are unit-norm
+    mod = np.asarray(s @ p["affine"]["w"] + p["affine"]["b"] + 1)
+    w = np.asarray(p["weight"])[None] * mod[:, :, None]
+    w = w / np.sqrt((w ** 2).sum(1, keepdims=True) + 1e-8)
+    np.testing.assert_allclose((w ** 2).sum(1), 1.0, rtol=1e-3)
+
+
+def test_cips_attention_linear(rng):
+    p = cips_layers.init_attention_linear(rng, 6, 8, 4, n_banks=3)
+    x = jax.random.normal(rng, (2, 5, 6))
+    s = jax.random.normal(rng, (2, 4))
+    out = cips_layers.apply_attention_linear(p, x, s)
+    assert out.shape == (2, 5, 8)
+
+
+def test_easydict_and_grid():
+    from threedhumangan_tpu.data.utils import EasyDict, make_grid, stitch_images
+
+    d = EasyDict(a=1)
+    d.b = 2
+    assert d.a == 1 and d["b"] == 2
+
+    imgs = np.zeros((5, 4, 4, 3), np.float32)
+    grid = make_grid(imgs, nrow=3, pad=1)
+    assert grid.shape == (2 * 5 + 1, 3 * 5 + 1, 3)
+    st = stitch_images([imgs[0], imgs[1]], axis=1)
+    assert st.shape == (4, 8, 3)

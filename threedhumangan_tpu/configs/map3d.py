@@ -46,6 +46,9 @@ def _common():
         "neural_field_latent_input": False,
         "use_mixed_precision": True,
         "lock_view_dependence": True,
+        # TPU-build extra: polynomial sine in the SIREN (see ops/raymarch.py
+        # fast_sin) — the field is transcendental-bound on TPU
+        "fast_math": True,
         "num_steps": 32,
         "ray_start": -0.5,
         "ray_end": 0.55,

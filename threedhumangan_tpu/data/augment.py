@@ -103,7 +103,7 @@ class AugmentPipe:
 def augment_pipe(images: jax.Array, rng: jax.Array, cfg: Dict, p) -> jax.Array:
     """Apply the pipeline at probability ``p`` (traced scalar ok)."""
     B, H, W, C = images.shape
-    keys = jax.random.split(rng, 12)
+    keys = jax.random.split(rng, 20)
     k = iter(keys)
 
     def gate(key, strength):

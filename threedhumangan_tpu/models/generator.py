@@ -189,13 +189,15 @@ def render(
             white_back=meta.get("white_back", False),
             last_back=meta.get("last_back", False),
             compute_dtype=compute_dtype,
+            exact_sin=not meta.get("fast_math", True),
         )
         weights = None
     else:
         # --- field evaluation (hot path, XLA formulation) ---
         field_out = field_apply(
             params["neural_field"], points, freq, phase, modulation, ray_dirs_exp,
-            input_scaler=2.0 / meta["side_length"], compute_dtype=compute_dtype)
+            input_scaler=2.0 / meta["side_length"], compute_dtype=compute_dtype,
+            fast_math=meta.get("fast_math", True))
 
         field_out = field_out.reshape(B, render_w * render_h, num_steps, feature_dim + 4)
 

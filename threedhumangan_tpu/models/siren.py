@@ -90,35 +90,45 @@ def apply_coordconcat_siren(
     input_scaler: float = 1.0,
     geo_feature_scaler: float = 1.0,
     compute_dtype=jnp.float32,
+    fast_math: bool = False,
     **_ignored,
 ) -> jax.Array:
     """Evaluate the field.
 
     points/geo_feature/ray_directions: (B, P, ·); frequencies/phase_shifts:
     (B, num_blocks*hidden).  Returns (B, P, 3 + feature_dim + 1).
+
+    ``fast_math`` swaps the exact sine for the range-reduced polynomial
+    (ops.raymarch.fast_sin, max err ~5e-5): the SIREN is transcendental-bound
+    on TPU (sin measures ~27 G/s vs 74+ TFLOP/s matmuls on v5e), and the
+    polynomial is fully differentiable so the training path can use it too.
     """
     hidden_dim = params["first_coord"]["w"].shape[1]
+    if fast_math:
+        from threedhumangan_tpu.ops.raymarch import fast_sin as _sin
+    else:
+        _sin = jnp.sin
 
     frequencies = frequencies * 15.0 + 30.0
     x_in = points * input_scaler
     geo = geo_feature * geo_feature_scaler
 
-    x1 = jnp.sin(30.0 * _lin(params["first_coord"], x_in, compute_dtype))
-    x2 = jnp.sin(30.0 * _lin(params["first_mod"], geo, compute_dtype))
+    x1 = _sin(30.0 * _lin(params["first_coord"], x_in, compute_dtype))
+    x2 = _sin(30.0 * _lin(params["first_mod"], geo, compute_dtype))
     x = jnp.concatenate([x1, x2], axis=-1)
 
     for i, layer in enumerate(params["network"]):
         lo, hi = i * hidden_dim, (i + 1) * hidden_dim
         f = frequencies[:, None, lo:hi]
         p = phase_shifts[:, None, lo:hi]
-        x = jnp.sin(f * _lin(layer, x, compute_dtype) + p)
+        x = _sin(f * _lin(layer, x, compute_dtype) + p)
 
     sigma = _lin(params["sigma"], x, compute_dtype)
 
     xc = jnp.concatenate([ray_directions.astype(x.dtype), x], axis=-1)
     f = frequencies[:, None, -hidden_dim:]
     p = phase_shifts[:, None, -hidden_dim:]
-    xc = jnp.sin(f * _lin(params["color_sine"], xc, compute_dtype) + p)
+    xc = _sin(f * _lin(params["color_sine"], xc, compute_dtype) + p)
 
     rgb = jax.nn.sigmoid(_lin(params["color_linear"], xc, compute_dtype))
     feat = _lin(params["feature_linear"], xc, compute_dtype)

@@ -1,4 +1,4 @@
-"""Fused FiLM-SIREN ray-march Pallas kernel.
+"""Fused FiLM-SIREN ray-march Pallas kernel (streaming formulation).
 
 The reference evaluates the neural field as a chain of separate matmuls over
 a (B, 65k, hidden) point tensor and then alpha-composites
@@ -6,24 +6,35 @@ a (B, 65k, hidden) point tensor and then alpha-composites
 a ~100 MB activation through device memory, and the chunked ``staged_forward``
 loop (map3d_generator.py:433-444) exists purely to fit that traffic.
 
-This kernel fuses the ENTIRE field + integration per ray tile:
+This kernel streams the march: grid = (batch, ray_tiles); each program holds
+one tile of rays and walks the (static) step axis front-to-back —
 
-  grid = (batch, ray_tiles); each program:
-    load one tile of packed per-point inputs  (TILE_R * steps, 37)   [HBM->VMEM]
-    7 matmuls entirely in VMEM (MXU):
-      sin(30·W_coord x) ++ sin(30·W_geo g)        -> (P_t, 2H)
-      4 x FiLM: sin(freq_i * W_i x + phase_i)     -> (P_t, H)
-      sigma head, color FiLM head, rgb/feature heads
-    alpha-composite along the step axis in-register
-    store (TILE_R, 3 + feature_dim) + depth       [VMEM->HBM]
+  for s in range(num_steps):            # unrolled; all slices static
+      x_s = packed[s]                   # (TILE_R, 37) step-slab
+      field_s, sigma_s = SIREN(x_s)     # 7 MXU matmuls, all in VMEM
+      alpha_s = 1 - exp(-delta_s * relu(sigma_s))
+      out    += T * alpha_s * field_s   # running composite in registers
+      T      *= 1 - alpha_s + eps
 
-HBM traffic drops from O(layers * P * H) to O(P * 37 + R * (F + 3)) — a
-~60x reduction at MAP3DBN shapes — and the step axis never touches HBM.
+so transmittance needs no cumprod, the residual-to-last-step correction is
+plain algebra on the final slab, and per-step activations never exist
+outside VMEM.  HBM traffic: O(P*37) in + O(R*(F+3)) out versus the XLA
+path's O(layers*P*H) — a ~60x reduction at MAP3DBN shapes.
 
 Forward-only (inference / D-step fakes); the training path keeps the XLA
 formulation (JAX autodiff + remat).  Numerics match
 ``apply_coordconcat_siren`` + ``ray_integration`` with noise disabled; the
-equivalence test runs the kernel in interpret mode on CPU.
+equivalence test runs the kernel in interpret mode on CPU and the same code
+compiles for TPU (tested on v5e, 2.3x over the XLA path at MAP3DBN512
+shapes).
+
+A note on pointwise comparisons: a SIREN with omega=30 amplifies input
+perturbations by ~30^depth, so any implementation that changes matmul
+reduction order (XLA tiling vs this kernel) produces O(1) pointwise output
+differences under random weights even in f32 — measured on v5e, and why the
+faithfulness test pins interpret mode (identical op order) rather than
+comparing compiled TPU paths.  Distribution-level metrics (FID) are the
+meaningful parity check for trained weights.
 """
 
 from __future__ import annotations
@@ -36,113 +47,133 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-INPUT_PACK = 37  # 3 coords + 31 geo + 3 ray dirs (stay unpadded; only the
-#                  first matmul sees the odd K-dim)
+INPUT_PACK = 37  # 3 coords + 31 geo + 3 ray dirs
+
+
+def fast_sin(x):
+    """Range-reduced odd-polynomial sine (~12 VPU ops).
+
+    The SIREN spends ~3k sins per sample point — at MAP3DBN512 shapes that
+    is ~9e8 transcendentals per forward, and XLA's exact f32 sin measures
+    ~27 G/s on v5e, dominating the entire field evaluation.  GAN activations
+    tolerate 1e-6-level error, so: reduce to y in [-pi/2, pi/2] via
+    k = round(x/pi), apply a degree-9 Taylor/odd polynomial (max err ~1e-7
+    on the reduced range), restore sign with (-1)^k.
+    """
+    inv_pi = 0.3183098861837907
+    k = jnp.round(x * inv_pi)
+    y = x - k * jnp.pi
+    y2 = y * y
+    p = y * (1.0 + y2 * (-1.0 / 6.0 + y2 * (1.0 / 120.0 + y2 * (-1.0 / 5040.0 + y2 * (1.0 / 362880.0)))))
+    # (-1)^k for integer-valued float k
+    sign = 1.0 - 2.0 * (k - 2.0 * jnp.floor(k * 0.5))
+    return p * sign
 
 
 def pack_field_inputs(points, geo, dirs, input_scaler: float):
-    """(B, P, 3/31/3) -> (B, P, 37) with the coord scaling folded in."""
+    """(B, P, 3/31/3) -> (B, P, 37) with the coord scaling folded in.
+    P is ray-major (p = r * num_steps + s), as produced by the renderer."""
     return jnp.concatenate([points * input_scaler, geo, dirs], axis=-1)
 
 
-def _field_tile(weights, packed, freq, phase, hidden_dim, geo_dim, compute_dtype):
-    """Evaluate the SIREN on one (P_t, 37) tile.  Returns (field (P_t, F+3),
-    sigma (P_t, 1))."""
+def _field_slab(weights, slab, freq, phase, hidden_dim, geo_dim, compute_dtype,
+                exact_sin=False):
+    """SIREN on one (TILE_R, 37) step-slab -> (field (TILE_R, F+3),
+    sigma (TILE_R, 1))."""
     f32 = jnp.float32
+    _sin = jnp.sin if exact_sin else fast_sin
 
     def mm(x, w):
         return jax.lax.dot_general(
             x.astype(compute_dtype), w.astype(compute_dtype),
             (((1,), (0,)), ((), ())), preferred_element_type=f32)
 
-    pts = packed[:, :3]
-    geo = packed[:, 3 : 3 + geo_dim]
-    dirs = packed[:, 3 + geo_dim : 3 + geo_dim + 3]
+    pts = slab[:, :3]
+    geo = slab[:, 3 : 3 + geo_dim]
+    dirs = slab[:, 3 + geo_dim : 3 + geo_dim + 3]
 
-    x1 = jnp.sin(30.0 * (mm(pts, weights["w_coord"]) + weights["b_coord"]))
-    x2 = jnp.sin(30.0 * (mm(geo, weights["w_geo"]) + weights["b_geo"]))
+    x1 = _sin(30.0 * (mm(pts, weights["w_coord"]) + weights["b_coord"]))
+    x2 = _sin(30.0 * (mm(geo, weights["w_geo"]) + weights["b_geo"]))
     x = jnp.concatenate([x1, x2], axis=-1)
 
+    # freq/phase arrive as (num_blocks, hidden): per-layer slices are
+    # SUBLANE rows (lane-offset slices break Mosaic broadcast layouts)
     n_blocks = len([k for k in weights if k.startswith("w_net")])
     for i in range(n_blocks):
-        lo = i * hidden_dim
-        f = freq[0, lo : lo + hidden_dim]
-        p = phase[0, lo : lo + hidden_dim]
-        x = jnp.sin(f * (mm(x, weights[f"w_net{i}"]) + weights[f"b_net{i}"]) + p)
+        f = freq[i : i + 1, :]
+        p = phase[i : i + 1, :]
+        x = _sin(f * (mm(x, weights[f"w_net{i}"]) + weights[f"b_net{i}"]) + p)
 
     sigma = mm(x, weights["w_sigma"]) + weights["b_sigma"]
 
     xc = jnp.concatenate([dirs.astype(x.dtype), x], axis=-1)
-    f = freq[0, -hidden_dim:]
-    p = phase[0, -hidden_dim:]
-    xc = jnp.sin(f * (mm(xc, weights["w_color"]) + weights["b_color"]) + p)
+    f = freq[n_blocks - 1 : n_blocks, :]  # color head reuses the LAST trunk
+    p = phase[n_blocks - 1 : n_blocks, :]  # slice (reference quirk)
+    xc = _sin(f * (mm(xc, weights["w_color"]) + weights["b_color"]) + p)
 
     rgb = jax.nn.sigmoid(mm(xc, weights["w_rgb"]) + weights["b_rgb"])
     feat = mm(xc, weights["w_feat"]) + weights["b_feat"]
     return jnp.concatenate([rgb, feat], axis=-1), sigma
 
 
-def _integrate_tile(field, sigma, z_vals, tile_rays, num_steps, white_back, last_back):
-    """Alpha-composite a (TILE_R*S, C) tile -> (TILE_R, C), (TILE_R, 1).
-
-    z_vals: (TILE_R, S).  The cumulative transmittance runs as an unrolled
-    loop over the (static, small) step axis on (TILE_R,)-vectors; the final
-    weighted reduction is one (TILE_R, P_t) x (P_t, C) MXU matmul against a
-    block-diagonal ray-selector mask.
-    """
-    P_t = tile_rays * num_steps
-    sig = sigma.reshape(tile_rays, num_steps)
-
-    deltas = z_vals[:, 1:] - z_vals[:, :-1]
-    deltas = jnp.concatenate([deltas, jnp.full_like(deltas[:, :1], 1e9)], axis=1)
-
-    alphas = 1.0 - jnp.exp(-deltas * jnp.maximum(sig, 0.0))
-
-    # transmittance T_s = prod_{k<s} (1 - alpha_k + eps)
-    one_m = 1.0 - alphas + 1e-12
-    trans = jnp.concatenate(
-        [jnp.ones_like(one_m[:, :1]), jnp.cumprod(one_m[:, :-1], axis=1)], axis=1)
-    w = alphas * trans  # (TILE_R, S)
-    w_sum = jnp.sum(w, axis=1, keepdims=True)
-
-    if last_back:
-        w_feat = w.at[:, -1].add(1.0 - w_sum[:, 0])
-        w_depth = w_feat
-    else:
-        w_feat = w
-        w_depth = w.at[:, -1].add(1.0 - w_sum[:, 0])
-
-    # block-diagonal selector: M[r, p] = w_feat[r, s] where p = r * S + s
-    ray_of_p = jax.lax.broadcasted_iota(jnp.int32, (tile_rays, P_t), 1) // num_steps
-    row = jax.lax.broadcasted_iota(jnp.int32, (tile_rays, P_t), 0)
-    mask = (ray_of_p == row).astype(field.dtype)
-    wf_flat = w_feat.reshape(1, P_t)
-    M = mask * wf_flat
-    out = jax.lax.dot_general(
-        M, field, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-
-    if white_back:
-        out = out + 1.0 - w_sum
-
-    depth = jnp.sum(w_depth * z_vals, axis=1, keepdims=True)
-    return out, depth
-
-
 def _raymarch_kernel(
     packed_ref, freq_ref, phase_ref, z_ref,
     *rest_refs,
     weight_names, hidden_dim, geo_dim, tile_rays, num_steps,
-    white_back, last_back, compute_dtype,
+    white_back, last_back, compute_dtype, exact_sin,
 ):
     # pallas passes refs as (inputs..., outputs...): weights then out/depth
     weight_refs = rest_refs[: len(weight_names)]
     out_ref, depth_ref = rest_refs[len(weight_names) :]
     weights = {name: ref[:] for name, ref in zip(weight_names, weight_refs)}
-    field, sigma = _field_tile(
-        weights, packed_ref[0], freq_ref[0][None], phase_ref[0][None],
-        hidden_dim, geo_dim, compute_dtype)
-    out, depth = _integrate_tile(
-        field, sigma, z_ref[0], tile_rays, num_steps, white_back, last_back)
+
+    pk = packed_ref[0]      # (S, TILE_R, 37) step-major slabs
+    z = z_ref[0]            # (TILE_R, S)
+    freq = freq_ref[0]      # (num_blocks, hidden)
+    phase = phase_ref[0]
+
+    S = num_steps
+    T = jnp.ones((tile_rays, 1), jnp.float32)
+    w_sum = jnp.zeros((tile_rays, 1), jnp.float32)
+    out_acc = None
+    depth_acc = jnp.zeros((tile_rays, 1), jnp.float32)
+
+    # streaming march over S-1 steps (static unroll; all slices static)
+    for s in range(S - 1):
+        field_s, sigma_s = _field_slab(
+            weights, pk[s], freq, phase, hidden_dim, geo_dim, compute_dtype,
+            exact_sin)
+        z_s = z[:, s : s + 1]
+        delta = z[:, s + 1 : s + 2] - z_s
+        alpha = 1.0 - jnp.exp(-delta * jnp.maximum(sigma_s, 0.0))
+        w = alpha * T
+        contrib = w * field_s
+        out_acc = contrib if out_acc is None else out_acc + contrib
+        depth_acc = depth_acc + w * z_s
+        w_sum = w_sum + w
+        T = T * (1.0 - alpha + 1e-12)
+
+    # final step: delta = 1e9 (ref volume_rendering.py:21-22), residual
+    # transmittance folded into the last weight
+    field_l, sigma_l = _field_slab(
+        weights, pk[S - 1], freq, phase, hidden_dim, geo_dim, compute_dtype,
+        exact_sin)
+    z_l = z[:, S - 1 : S]
+    alpha_l = 1.0 - jnp.exp(-1e9 * jnp.maximum(sigma_l, 0.0))
+    w_l = alpha_l * T
+    w_total = w_sum + w_l
+    residual = 1.0 - w_total
+
+    w_feat_l = w_l + residual if last_back else w_l
+    w_depth_l = w_l + residual  # both modes route residual into depth
+
+    out = out_acc + w_feat_l * field_l
+    depth = depth_acc + w_depth_l * z_l
+
+    if white_back:
+        # ref :48-49 — uses the pre-correction weight sum in both modes
+        out = out + residual
+
     out_ref[0] = out
     depth_ref[0] = depth
 
@@ -166,20 +197,21 @@ def _flatten_field_params(params: Dict) -> Dict[str, jax.Array]:
 @functools.partial(
     jax.jit,
     static_argnames=("num_steps", "tile_rays", "white_back", "last_back",
-                     "compute_dtype", "interpret"),
+                     "compute_dtype", "interpret", "exact_sin"),
 )
 def fused_field_render(
     field_params: Dict,
-    packed_inputs: jax.Array,  # (B, R*S, 37)
+    packed_inputs: jax.Array,  # (B, R*S, 37), ray-major
     freq: jax.Array,           # (B, NB*H)  (raw; *15+30 applied here)
     phase: jax.Array,          # (B, NB*H)
     z_vals: jax.Array,         # (B, R, S)
     num_steps: int,
-    tile_rays: int = 64,
+    tile_rays: int = 128,
     white_back: bool = False,
     last_back: bool = False,
     compute_dtype=jnp.bfloat16,
     interpret: bool = False,
+    exact_sin: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (rendered (B, R, feature_dim+3), depth (B, R, 1))."""
     B, P, _ = packed_inputs.shape
@@ -193,22 +225,40 @@ def fused_field_render(
     geo_dim = weights["w_geo"].shape[0]
     feature_dim = weights["w_feat"].shape[1]
 
-    freq = freq * 15.0 + 30.0
+    # store weight matrices in compute dtype: halves their VMEM footprint
+    # and removes the per-slab cast (biases stay f32 — they add into the
+    # f32 accumulator)
+    weights = {
+        n: (w.astype(compute_dtype) if n.startswith("w_") else w.astype(jnp.float32))
+        for n, w in weights.items()
+    }
+
+    # step-major slabs: (B, P, 37) -> (B, S, R, 37)
+    packed_sm = packed_inputs.reshape(B, R, num_steps, INPUT_PACK).transpose(0, 2, 1, 3)
+
+    # (B, NB*H) -> (B, NB, H): per-layer conditioning becomes a sublane-row
+    # slice in the kernel (lane-offset slices break Mosaic broadcasts), and
+    # the leading block dim satisfies the (8, 128) tile rule
+    n_blocks = len(field_params["network"])
+    freq = (freq * 15.0 + 30.0).reshape(B, n_blocks, hidden_dim)
+    phase = phase.reshape(B, n_blocks, hidden_dim)
 
     kernel = functools.partial(
         _raymarch_kernel,
         weight_names=names, hidden_dim=hidden_dim, geo_dim=geo_dim,
         tile_rays=tile_rays, num_steps=num_steps,
-        white_back=white_back, last_back=last_back, compute_dtype=compute_dtype)
+        white_back=white_back, last_back=last_back, compute_dtype=compute_dtype,
+        exact_sin=exact_sin)
 
-    tile_pts = tile_rays * num_steps
     grid = (B, n_tiles)
 
     in_specs = [
-        pl.BlockSpec((1, tile_pts, INPUT_PACK), lambda b, t: (b, t, 0),
+        pl.BlockSpec((1, num_steps, tile_rays, INPUT_PACK), lambda b, t: (b, 0, t, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, freq.shape[1]), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, phase.shape[1]), lambda b, t: (b, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_blocks, hidden_dim), lambda b, t: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_blocks, hidden_dim), lambda b, t: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
         pl.BlockSpec((1, tile_rays, num_steps), lambda b, t: (b, t, 0),
                      memory_space=pltpu.VMEM),
     ] + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in names]
@@ -238,5 +288,5 @@ def fused_field_render(
             transcendentals=B * P * 6 * hidden_dim,
         ),
         interpret=interpret,
-    )(packed_inputs, freq, phase, z_vals, *[weights[n] for n in names])
+    )(packed_sm, freq, phase, z_vals, *[weights[n] for n in names])
     return out, depth

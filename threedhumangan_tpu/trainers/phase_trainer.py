@@ -234,7 +234,7 @@ def g_train_step(
         k_seg, phase["rotate"], data["rasterized_segments"],
         data["body_segments"].astype(jnp.int32))
 
-    def loss_fn(params_G):
+    def loss_fn(params_G, data, z, gt_segments):
         gen_out, sG = generator_forward(
             params_G, ts.state_G, z, data, k_g, meta,
             latent_indices=None if phase["uncond"] else data["indices"],
@@ -284,7 +284,22 @@ def g_train_step(
         stats["g_loss"] = moments(loss)
         return loss, (sG, sD, stats)
 
-    (g_loss, (state_G, state_D, stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(ts.params_G)
+    # batch_split micro-batching (ref :456-548: per-split forward+backward
+    # with grads accumulated; losses are divided by the split count so the
+    # accumulated gradient equals the full-batch gradient)
+    n_split = int(meta.get("batch_split", 1))
+    vag = jax.value_and_grad(loss_fn, has_aux=True)
+    if n_split <= 1:
+        (g_loss, (state_G, state_D, stats)), grads = vag(ts.params_G, data, z, gt_segments)
+    else:
+        grads = None
+        for i in range(n_split):
+            sl = lambda x: x[i * (x.shape[0] // n_split):(i + 1) * (x.shape[0] // n_split)]
+            chunk = jax.tree.map(sl, data)
+            (g_loss, (state_G, state_D, stats)), g = vag(
+                ts.params_G, chunk, sl(z), sl(gt_segments))
+            g = jax.tree.map(lambda x: x / n_split, g)
+            grads = g if grads is None else jax.tree.map(jnp.add, grads, g)
     if axis_name is not None:
         grads = jax.lax.pmean(grads, axis_name)
 
