@@ -200,3 +200,16 @@ def test_knn_gather(rng):
     out = ops.knn_gather(x, idx)
     assert out.shape == (1, 2, 2, 4)
     np.testing.assert_array_equal(np.asarray(out[0, 0, 1]), np.arange(20.0, 24.0))
+
+
+def test_nn_pallas_matches_bruteforce(rng):
+    from threedhumangan_tpu.ops.knn import nn_points_pallas
+
+    k1, k2 = jax.random.split(rng)
+    pts = jax.random.normal(k1, (2, 100, 3))
+    verts = jax.random.normal(k2, (2, 50, 3))
+    dists, idx = nn_points_pallas(pts, verts, tile_p=32, v_chunk=16, interpret=True)
+    p, v = np.asarray(pts), np.asarray(verts)
+    d_full = ((p[:, :, None, :] - v[:, None, :, :]) ** 2).sum(-1)
+    np.testing.assert_array_equal(np.asarray(idx)[..., 0], d_full.argmin(-1))
+    np.testing.assert_allclose(np.asarray(dists)[..., 0], d_full.min(-1), rtol=1e-4, atol=1e-5)

@@ -107,3 +107,48 @@ def test_easydict_and_grid():
     assert grid.shape == (2 * 5 + 1, 3 * 5 + 1, 3)
     st = stitch_images([imgs[0], imgs[1]], axis=1)
     assert st.shape == (4, 8, 3)
+
+
+def test_native_dataloader_matches_numpy():
+    from threedhumangan_tpu.data import native
+
+    rs = np.random.RandomState(0)
+    rgb = rs.randint(0, 256, (16, 12, 3), np.uint8)
+    mask = (rs.rand(16, 12) > 0.3).astype(np.uint8) * 255
+
+    out = native.normalize_masked_image(rgb, mask)
+    expected = rgb.astype(np.float32) / 127.5 - 1.0
+    expected[mask == 0] = 1.0
+    np.testing.assert_allclose(out, expected, atol=1e-6)
+
+    seg = rs.randint(0, 5, (8, 8)).astype(np.int64)
+    shifted = native.shift_segment_labels(seg.copy())
+    exp = seg.copy()
+    exp[seg > 0] += 1
+    exp[seg == 0] = 1
+    np.testing.assert_array_equal(shifted, exp)
+
+    # resize sanity: nearest keeps the value set, bilinear keeps range
+    img = rs.randint(0, 256, (9, 7, 3), np.uint8)
+    nn = native.resize_u8(img, 18, 14, nearest=True)
+    assert nn.shape == (18, 14, 3)
+    assert set(np.unique(nn)).issubset(set(np.unique(img)))
+    bl = native.resize_u8(img, 5, 4, nearest=False)
+    assert bl.shape == (5, 4, 3)
+    assert bl.min() >= img.min() - 1 and bl.max() <= img.max() + 1
+
+
+def test_prefetch_iterator():
+    from threedhumangan_tpu.data.prefetch import prefetch
+
+    items = list(prefetch(iter(range(7)), depth=3))
+    assert items == list(range(7))
+
+    def failing():
+        yield 1
+        raise ValueError("boom")
+
+    it = prefetch(failing())
+    assert next(it) == 1
+    with pytest.raises(ValueError):
+        list(it)

@@ -124,10 +124,10 @@ class SHHQDataset:
     def _load_image(self, path, nearest=False):
         from PIL import Image
 
-        img = Image.open(path)
-        resample = Image.NEAREST if nearest else Image.BILINEAR
-        img = img.resize((self.width, self.height), resample)
-        return np.asarray(img)
+        from threedhumangan_tpu.data.native import resize_u8
+
+        img = np.asarray(Image.open(path))
+        return resize_u8(img, self.height, self.width, nearest=nearest)
 
     def _skip_corrupted(self, index):
         while index in self.corrupted:
@@ -163,11 +163,13 @@ class SHHQDataset:
         if self.condition_only:
             return self._load_smpl(index)
 
+        from threedhumangan_tpu.data.native import normalize_masked_image
+
         rgb = self._load_image(os.path.join(self.root, "images", f"{index + 1:06d}.png"))
         mask = self._load_image(os.path.join(self.root, "masks", f"{index + 1:06d}.png"), nearest=True)
-        rgb = rgb.copy()
-        rgb[mask == 0] = 255  # white background (ref :298)
-        images = rgb.astype(np.float32) / 127.5 - 1.0  # HWC in [-1, 1]
+        mask2d = mask if mask.ndim == 2 else mask[..., 0]
+        # white background + [-1, 1] normalization (ref :298) via the native core
+        images = normalize_masked_image(rgb, mask2d)
 
         data = {"indices": np.int32(index), "images": images,
                 "masks": (mask.astype(np.float32) / 127.5 - 1.0)}
@@ -181,14 +183,13 @@ class SHHQDataset:
         if self.image_only:
             return data
 
+        from threedhumangan_tpu.data.native import shift_segment_labels
+
         seg = self._load_image(os.path.join(self.root, "body_seg", f"{index + 1:06d}.png"), nearest=True)
         if seg.ndim == 3:
             seg = seg[..., 0]
-        seg = seg.astype(np.int64)
-        fg = seg > 0
-        seg[fg] += 1  # 0 reserved for "fake" (ref :305-309)
-        seg[~fg] = 1  # 1 reserved for background
-        data["body_segments"] = seg
+        # 0 reserved for "fake", 1 for background (ref :305-309)
+        data["body_segments"] = shift_segment_labels(seg.astype(np.int64))
 
         if self.joints:
             data.update(self._load_smpl(index))
@@ -258,13 +259,13 @@ _DATASETS = {"SHHQDataset": SHHQDataset, "SyntheticSHHQDataset": SyntheticSHHQDa
 
 def make_dataset(name: str, **meta):
     """Resolve by name; fall back to synthetic when assets are absent."""
-    if meta.get("dataroot") in (None, "synthetic") or not os.path.isdir(
-        os.path.join(meta.get("dataroot", ""), "images")
-    ):
-        if name != "SyntheticSHHQDataset" and meta.get("dataroot") != "synthetic":
-            cond_dir = os.path.join(meta.get("dataroot", ""), "smpl")
-            if not os.path.isdir(cond_dir):
-                return SyntheticSHHQDataset(**meta)
+    root = meta.get("dataroot")
+    if name == "SyntheticSHHQDataset" or root in (None, "", "synthetic"):
+        return SyntheticSHHQDataset(**meta)
+    has_assets = os.path.isdir(os.path.join(root, "images")) or os.path.isdir(
+        os.path.join(root, "smpl"))
+    if not has_assets:
+        return SyntheticSHHQDataset(**meta)
     return _DATASETS[name](**meta)
 
 

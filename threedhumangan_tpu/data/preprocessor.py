@@ -32,7 +32,7 @@ from threedhumangan_tpu.models.smpl import (
     euler_angles_to_matrix_xyz,
     get_smpl_model,
 )
-from threedhumangan_tpu.ops.rasterize import rasterize_mesh
+from threedhumangan_tpu.ops.rasterize import rasterize_mesh, rasterize_mesh_binned
 
 
 def _pad_rotation_4x4(R: jax.Array) -> jax.Array:
@@ -153,7 +153,10 @@ class Preprocessor:
         y_ndc = focal[:, None] * v_cam[..., 1] / v_cam[..., 2]
         verts_screen = jnp.stack([x_ndc, y_ndc, v_cam[..., 2]], axis=-1)
 
-        pix_to_face, bary, zbuf = rasterize_mesh(
+        # tile-binned rasterizer: ~F/K-fold less pair work than the dense
+        # z-buffer (ops/rasterize.py) — the dense path measured ~300 ms/img
+        # at 512x256 on v5e and dominated the training step
+        pix_to_face, bary, zbuf = rasterize_mesh_binned(
             verts_screen, jnp.asarray(self.smpl_faces), (self.height, self.width))
 
         bg_mask = pix_to_face < 0

@@ -165,7 +165,8 @@ def render(
         modulation = jax.lax.stop_gradient(
             get_geo_features(points, skeletons, vertices, tpose_vertices,
                              fk_matrices, lbs_weights,
-                             legacy_mode=meta.get("legacy_mode", False)))
+                             legacy_mode=meta.get("legacy_mode", False),
+                             use_pallas_knn=meta.get("pallas_knn", False)))
 
     feature_dim = meta["feature_dim"]
     noise_std = meta.get("nerf_noise", 0.5) if nerf_noise is None else nerf_noise
@@ -299,8 +300,11 @@ def generator_forward(
             nerf_noise=nerf_noise)
 
     interp = meta.get("feature_map_interpolation", "bilinear")
+    # upsample in compute dtype: the (B, gen_h, gen_w, F) style map is the
+    # largest tensor in the model and the resize is pure bandwidth
     feature_maps = jax.image.resize(
-        feature_maps, (B, gen_h, gen_w, feature_maps.shape[-1]), method=interp)
+        feature_maps.astype(compute_dtype),
+        (B, gen_h, gen_w, feature_maps.shape[-1]), method=interp)
 
     new_state = state
     if disable_synthesis or meta.get("disable_synthesis", False):

@@ -313,12 +313,17 @@ def get_geo_features(
     fk_matrices: jax.Array,
     lbs_weights: jax.Array,
     legacy_mode: bool = False,
+    use_pallas_knn: bool = False,
 ) -> jax.Array:
     """Per-point 31-d geometric conditioning (ref smpl.py:210-249).
 
     points: (B, P, 3); skeletons: (B, J, 3); vertices: (B, V, 3);
     tpose_vertices: (B, V, 3); fk_matrices: (B, J, 4, 4);
     lbs_weights: (B, V, J).
+
+    ``use_pallas_knn`` switches the 1-NN search to the fused Pallas kernel
+    (ops/knn.nn_points_pallas) — safe even in training because the reference
+    computes geo features under no_grad (ref map3d_generator.py:196).
     """
     B, P, _ = points.shape
     V = vertices.shape[1]
@@ -331,9 +336,15 @@ def get_geo_features(
     ik_matrices = jnp.linalg.inv(fk_matrices.astype(jnp.float32))  # (B, J, 4, 4)
     vertex_ik = jnp.einsum("bvj,bjkl->bvkl", lbs_weights, ik_matrices)  # (B,V,4,4)
 
-    nearest_d2, nearest_idx = knn_points(
-        points.astype(jnp.float32), vertices.astype(jnp.float32), k=1
-    )
+    if use_pallas_knn:
+        from threedhumangan_tpu.ops.knn import nn_points_pallas
+
+        nearest_d2, nearest_idx = nn_points_pallas(
+            points.astype(jnp.float32), vertices.astype(jnp.float32))
+    else:
+        nearest_d2, nearest_idx = knn_points(
+            points.astype(jnp.float32), vertices.astype(jnp.float32), k=1
+        )
 
     point_ik = knn_gather(vertex_ik.reshape(B, V, 16), nearest_idx)  # (B,P,1,16)
     point_ik = point_ik[:, :, 0].reshape(B, P, 4, 4)

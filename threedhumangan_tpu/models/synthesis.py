@@ -74,12 +74,17 @@ def init_conv1x1_kaiming_leaky(key, in_dim, out_dim):
 
 
 def apply_conv1x1(p, x, compute_dtype=jnp.float32):
-    """x: (..., Cin) -> (..., Cout).  A pure matmul over flattened pixels."""
+    """x: (..., Cin) -> (..., Cout).  A pure matmul over flattened pixels.
+
+    Accumulates in f32 but stores the result in ``compute_dtype``: at
+    512x256x420 one f32 activation is 1.8 GB/batch and the synthesis stack
+    is HBM-bound, so bf16 residency matters more than the last mantissa bits
+    (the reference runs this under fp16 AMP, which is strictly worse)."""
     y = jnp.einsum(
         "...i,io->...o", x.astype(compute_dtype), p["w"].astype(compute_dtype),
         preferred_element_type=jnp.float32,
     )
-    return y + p["b"].astype(jnp.float32)
+    return (y + p["b"].astype(jnp.float32)).astype(compute_dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -195,6 +200,8 @@ def apply_sync_batch_norm(
     normalize by cross-replica *batch* stats (differentiable — R1 double
     grads flow through the moments); running stats updated with unbiased
     variance.  x: NHWC."""
+    in_dtype = x.dtype
+    x = x.astype(jnp.float32)  # stats in f32 regardless of residency dtype
     if train:
         mean = jnp.mean(x, axis=(0, 1, 2))
         mean = _cross_replica_mean(mean, axis_name)
@@ -216,7 +223,7 @@ def apply_sync_batch_norm(
 
     y = (x - mean) * jax.lax.rsqrt(var + eps)
     y = y * params["scale"] + params["bias"]
-    return y, new_state
+    return y.astype(in_dtype), new_state
 
 
 def init_adaptive_batch_norm(num_features):
@@ -237,7 +244,7 @@ def apply_adaptive_batch_norm(
     of unbiased batch moments), but normalization ALWAYS uses the running
     stats — so gradients never flow through the moments."""
     if train:
-        xs = jax.lax.stop_gradient(x)
+        xs = jax.lax.stop_gradient(x).astype(jnp.float32)
         mean = jnp.mean(xs, axis=(0, 1, 2))
         n = xs.shape[0] * xs.shape[1] * xs.shape[2]
         var = jnp.sum(jnp.square(xs - mean), axis=(0, 1, 2)) / max(n - 1, 1)
@@ -248,15 +255,16 @@ def apply_adaptive_batch_norm(
         new_state = {"mean": new_mean, "var": new_var, "count": state["count"] + 1}
     else:
         new_state = state
-    y = (x - new_state["mean"]) * jax.lax.rsqrt(new_state["var"] + eps)
-    return y, new_state
+    y = (x.astype(jnp.float32) - new_state["mean"]) * jax.lax.rsqrt(new_state["var"] + eps)
+    return y.astype(x.dtype), new_state
 
 
 def instance_norm(x, eps: float = 1e-5):
     """nn.InstanceNorm2d default (no affine, no running stats); x NHWC."""
-    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-    var = jnp.mean(jnp.square(x - mean), axis=(1, 2), keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps)
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2), keepdims=True)
+    return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
 
 
 # ---------------------------------------------------------------------------

@@ -146,3 +146,143 @@ def rasterize_mesh(
         bary.reshape(B, H, W, 3),
         zbuf.reshape(B, H, W),
     )
+
+
+# ---------------------------------------------------------------------------
+# tile-binned rasterizer (the production path)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit, static_argnames=("image_size", "tile", "max_faces_per_tile")
+)
+def rasterize_mesh_binned(
+    verts_screen: jax.Array,
+    faces: jax.Array,
+    image_size: Tuple[int, int],
+    tile: int = 32,
+    max_faces_per_tile: int = 2048,
+):
+    """Two-level z-buffer rasterization: bin faces to screen tiles by
+    bounding box, then run the dense barycentric test only against each
+    tile's top-K candidates.
+
+    The brute-force path above tests all (pixel, face) pairs —
+    H*W*F ≈ 1.8e9 VPU tests per image at 512x256/SMPL shapes, which measured
+    ~300 ms/image on v5e and dominated the whole pipeline.  Binning keeps
+    every shape static (the TPU constraint that rules out classical
+    variable-length bins): the candidate list is a top-K over a (tiles, F)
+    bbox-overlap matrix, K fixed.  Pair work drops ~F/K-fold; a tile
+    overlapping more than K faces keeps the K lowest-indexed candidates
+    (validated against the dense rasterizer in tests; K=2048 is ~6x the
+    densest tile occupancy seen for posed SMPL bodies at 512x256).
+
+    Same signature/returns as ``rasterize_mesh``.
+    """
+    H, W = image_size
+    B, V, _ = verts_screen.shape
+    F = faces.shape[0]
+    K = min(max_faces_per_tile, F)
+    tiles_y = -(-H // tile)
+    tiles_x = -(-W // tile)
+    T = tiles_y * tiles_x
+
+    span = W / H
+    # pixel centers (same grid as the renderer), padded to whole tiles
+    xs = jnp.linspace(-span, span, W, dtype=jnp.float32)
+    ys = jnp.linspace(-1.0, 1.0, H, dtype=jnp.float32)
+    xs = jnp.pad(xs, (0, tiles_x * tile - W), constant_values=2.0 * _BIG)
+    ys = jnp.pad(ys, (0, tiles_y * tile - H), constant_values=2.0 * _BIG)
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")  # (Hp, Wp)
+    # tile-major pixel layout: (T, tile*tile, 2)
+    gx_t = gx.reshape(tiles_y, tile, tiles_x, tile).transpose(0, 2, 1, 3).reshape(T, tile * tile)
+    gy_t = gy.reshape(tiles_y, tile, tiles_x, tile).transpose(0, 2, 1, 3).reshape(T, tile * tile)
+
+    # tile bounds in grid units (exact pixel-center bounds)
+    x_step = 2 * span / max(W - 1, 1)
+    y_step = 2.0 / max(H - 1, 1)
+    tx0 = -span + jnp.arange(tiles_x) * tile * x_step
+    ty0 = -1.0 + jnp.arange(tiles_y) * tile * y_step
+    tile_x0 = jnp.tile(tx0, tiles_y)
+    tile_y0 = jnp.repeat(ty0, tiles_x)
+    tile_x1 = tile_x0 + (tile - 1) * x_step
+    tile_y1 = tile_y0 + (tile - 1) * y_step
+
+    tri = verts_screen[:, faces.reshape(-1), :].reshape(B, F, 3, 3)
+    fx0 = jnp.min(tri[..., 0], axis=2)  # (B, F)
+    fx1 = jnp.max(tri[..., 0], axis=2)
+    fy0 = jnp.min(tri[..., 1], axis=2)
+    fy1 = jnp.max(tri[..., 1], axis=2)
+
+    # bbox overlap (B, T, F)
+    overlap = (
+        (fx0[:, None, :] <= tile_x1[None, :, None])
+        & (fx1[:, None, :] >= tile_x0[None, :, None])
+        & (fy0[:, None, :] <= tile_y1[None, :, None])
+        & (fy1[:, None, :] >= tile_y0[None, :, None])
+    )
+    # deterministic top-K candidate faces per tile (lowest indices first)
+    scores = jnp.where(overlap, jnp.float32(F) - jnp.arange(F, dtype=jnp.float32), -1.0)
+    top_vals, cand = jax.lax.top_k(scores, K)  # (B, T, K)
+    cand_valid = top_vals > 0
+
+    tri_cand = jnp.take_along_axis(
+        tri.reshape(B, F, 9)[:, None], cand[..., None], axis=2
+    ).reshape(B, T, K, 3, 3)
+
+    def per_tile(args):
+        tri_k, valid, px, py = args  # (B,K,3,3), (B,K), (P,), (P,)
+        a = tri_k[:, :, 0]
+        b = tri_k[:, :, 1]
+        c = tri_k[:, :, 2]
+        v0 = b[..., :2] - a[..., :2]
+        v1 = c[..., :2] - a[..., :2]
+        denom = v0[..., 0] * v1[..., 1] - v0[..., 1] * v1[..., 0]  # (B,K)
+        ok = valid & (jnp.abs(denom) > 1e-9)
+        inv = jnp.where(ok, 1.0 / jnp.where(ok, denom, 1.0), 0.0)
+
+        v2x = px[None, None, :] - a[..., 0][..., None]  # (B,K,P)
+        v2y = py[None, None, :] - a[..., 1][..., None]
+        w1 = (v2x * v1[..., 1][..., None] - v2y * v1[..., 0][..., None]) * inv[..., None]
+        w2 = (v0[..., 0][..., None] * v2y - v0[..., 1][..., None] * v2x) * inv[..., None]
+        w0 = 1.0 - w1 - w2
+        inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & ok[..., None]
+        zf = (
+            w0 * tri_k[:, :, 0, 2][..., None]
+            + w1 * tri_k[:, :, 1, 2][..., None]
+            + w2 * tri_k[:, :, 2, 2][..., None]
+        )
+        zf = jnp.where(inside, zf, _BIG)
+        best = jnp.argmin(zf, axis=1)  # (B, P) index into K
+        best_z = jnp.take_along_axis(zf, best[:, None, :], axis=1)[:, 0]
+        take = lambda w: jnp.take_along_axis(w, best[:, None, :], axis=1)[:, 0]
+        bary = jnp.stack([take(w0), take(w1), take(w2)], axis=-1)
+        return best, best_z, bary
+
+    # map over tiles: transient block is (B, K, tile*tile)
+    best_k, zbuf_t, bary_t = jax.lax.map(
+        per_tile,
+        (
+            jnp.moveaxis(tri_cand, 1, 0),      # (T, B, K, 3, 3)
+            jnp.moveaxis(cand_valid, 1, 0),    # (T, B, K)
+            gx_t,                              # (T, P)
+            gy_t,
+        ),
+    )
+    # best_k: (T, B, P) -> face ids via candidate table
+    best_k = jnp.moveaxis(best_k, 0, 1)  # (B, T, P)
+    zbuf_t = jnp.moveaxis(zbuf_t, 0, 1)
+    bary_t = jnp.moveaxis(bary_t, 0, 1)
+
+    face_id = jnp.take_along_axis(cand, best_k, axis=2)  # (B, T, P)
+    face_id = jnp.where(zbuf_t >= _BIG, -1, face_id).astype(jnp.int32)
+
+    # tile-major -> image layout, crop padding
+    def untile(x, ch=None):
+        shape = (B, tiles_y, tiles_x, tile, tile) + ((ch,) if ch else ())
+        x = x.reshape(shape)
+        x = x.transpose(0, 1, 3, 2, 4, 5) if ch else x.transpose(0, 1, 3, 2, 4)
+        x = x.reshape((B, tiles_y * tile, tiles_x * tile) + ((ch,) if ch else ()))
+        return x[:, :H, :W]
+
+    return untile(face_id), untile(bary_t, 3), untile(zbuf_t)

@@ -100,9 +100,11 @@ class Trainer:
         self.proc_batch_size = meta["batch_size"] // self.world_size
         self.batch_size = meta["batch_size"]
         self.gen_height, self.gen_width = meta["gen_height"], meta["gen_width"]
+        reserved = ("smpl_model", "batch_size", "name", "dataset", "world_size", "rank")
+        kwargs = {k: v for k, v in meta.items() if k not in reserved}
         self.loader_fn, self.dataset = get_dataset_distributed(
             meta["dataset"], self.world_size, self.rank, self.proc_batch_size,
-            smpl_model=self.smpl_model, **{k: v for k, v in meta.items() if k != "smpl_model"})
+            smpl_model=self.smpl_model, **kwargs)
         self.preprocessor = get_preprocessor(meta, smpl_model=self.dataset.smpl_model)
         self._stage_meta = dict(meta)
         self._stage_meta.pop("nerf_noise", None)
@@ -154,7 +156,9 @@ class Trainer:
             meta = self._meta_for_step(self.step)
             if meta is None:
                 break
-            for data in self.loader_fn(seed=epoch, shuffle=True):
+            from threedhumangan_tpu.data.prefetch import prefetch
+
+            for data in prefetch(self.loader_fn(seed=epoch, shuffle=True)):
                 meta = self._meta_for_step(self.step)
                 if meta is None:
                     return
