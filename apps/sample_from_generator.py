@@ -173,3 +173,10 @@ def main():
 
 if __name__ == "__main__":
     main()
+    # skip interpreter finalization (axon plugin teardown aborts after a
+    # platform switch; see apps/train.py)
+    import sys
+
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)

@@ -71,7 +71,16 @@ def main():
     if opt.set_step is not None:
         trainer.step = opt.set_step  # ref base_trainer.py:59-61
     trainer.run(max_steps=opt.max_steps)
+    print(f"training finished at step {trainer.step}")
 
 
 if __name__ == "__main__":
     main()
+    # the axon TPU plugin (pre-registered in this environment) aborts in its
+    # C++ teardown when the active platform was switched after import; all
+    # work is flushed by now, so skip interpreter finalization
+    import sys
+
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)

@@ -45,6 +45,7 @@ def main():
     # XLA path runs everywhere else
     meta["pallas_field"] = jax.default_backend() not in ("cpu",)
     meta["pallas_knn"] = meta["pallas_field"]
+    meta["pallas_synthesis"] = meta["pallas_field"]
     meta["pallas_tile_rays"] = 64
 
     smpl = synthetic_smpl_model(num_verts=6890, num_faces=13776)

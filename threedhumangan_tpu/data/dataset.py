@@ -257,16 +257,30 @@ class SyntheticSHHQDataset:
 _DATASETS = {"SHHQDataset": SHHQDataset, "SyntheticSHHQDataset": SyntheticSHHQDataset}
 
 
-def make_dataset(name: str, **meta):
-    """Resolve by name; fall back to synthetic when assets are absent."""
+_RESERVED_KEYS = ("name", "dataset", "batch_size", "world_size", "rank", "trainer")
+
+
+def _clean(meta: dict) -> dict:
+    """Config dicts are passed wholesale as **meta (the reference's de-facto
+    flag system, SURVEY.md §5) — drop keys that collide with positionals."""
+    return {k: v for k, v in meta.items() if k not in _RESERVED_KEYS}
+
+
+def make_dataset(kind: str, **meta):
+    """Resolve by class name; fall back to synthetic when assets are absent.
+
+    The first parameter is deliberately NOT called ``name``/``dataset`` —
+    config dicts are passed wholesale as **meta (the reference's de-facto
+    flag system) and contain both keys."""
+    meta = _clean(meta)
     root = meta.get("dataroot")
-    if name == "SyntheticSHHQDataset" or root in (None, "", "synthetic"):
+    if kind == "SyntheticSHHQDataset" or root in (None, "", "synthetic"):
         return SyntheticSHHQDataset(**meta)
     has_assets = os.path.isdir(os.path.join(root, "images")) or os.path.isdir(
         os.path.join(root, "smpl"))
     if not has_assets:
         return SyntheticSHHQDataset(**meta)
-    return _DATASETS[name](**meta)
+    return _DATASETS[kind](**meta)
 
 
 def _collate(items: List[Dict]) -> Dict:
@@ -292,9 +306,9 @@ def iterate_batches(
         yield _collate([dataset[int(i)] for i in idx])
 
 
-def get_dataset(name: str, batch_size: int = 1, **meta):
+def get_dataset(kind: str, batch_size: int = 1, **meta):
     """(ref lib/data/__init__.py:5-20): returns (iterator-factory, dataset)."""
-    ds = make_dataset(name, **meta)
+    ds = make_dataset(kind, **_clean(meta))
 
     def loader(seed: int = 0, shuffle: bool = False):
         return iterate_batches(ds, batch_size, shuffle=shuffle, seed=seed)
@@ -302,9 +316,9 @@ def get_dataset(name: str, batch_size: int = 1, **meta):
     return loader, ds
 
 
-def get_dataset_distributed(name: str, world_size: int, rank: int, batch_size: int, **meta):
+def get_dataset_distributed(kind: str, world_size: int, rank: int, batch_size: int, **meta):
     """(ref lib/data/__init__.py:23-38)"""
-    ds = make_dataset(name, **meta)
+    ds = make_dataset(kind, **_clean(meta))
 
     def loader(seed: int = 0, shuffle: bool = True):
         return iterate_batches(

@@ -307,8 +307,35 @@ def generator_forward(
         (B, gen_h, gen_w, feature_maps.shape[-1]), method=interp)
 
     new_state = state
+    use_fused_synthesis = (
+        meta.get("pallas_synthesis", False)
+        and not train
+        and not meta.get("2d_label_input", False)
+        and not meta.get("2d_latent_input", False)
+        and meta.get("spatial_normalization") in ("batch_norm", "adaptive_batch_norm")
+    )
     if disable_synthesis or meta.get("disable_synthesis", False):
         output = {"rgbs": rgb_render, "rgbs_render": rgb_render}
+    elif use_fused_synthesis:
+        # whole-network Pallas kernel (ops/synthesis_kernel.py): one style
+        # read + one rgb write instead of ~50 GB of per-block HBM traffic
+        from threedhumangan_tpu.ops.synthesis_kernel import (
+            fold_synthesis_params,
+            fused_synthesis,
+        )
+
+        folded = fold_synthesis_params(
+            params["synthesis_network"], state["synthesis_network"],
+            params["synthesis_input"], meta["spatial_normalization"])
+        rgbs = fused_synthesis(
+            folded, feature_maps, synthesis_styles,
+            num_blocks=meta["synthesis_blocks"],
+            mod_blocks=tuple(meta["mod_blocks"]),
+            map3d_mode=meta.get("map3d_mode", "isolated"),
+            tile_rows=meta.get("pallas_synthesis_tile_rows", 16),
+            compute_dtype=compute_dtype,
+        )
+        output = {"rgbs": rgbs, "rgbs_render": rgb_render}
     else:
         coords = syn.get_2d_coords(B, gen_h, gen_w, dtype=jnp.float32)
         if meta.get("2d_label_input", False):

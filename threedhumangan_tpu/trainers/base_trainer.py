@@ -161,8 +161,12 @@ class Trainer:
             for data in prefetch(self.loader_fn(seed=epoch, shuffle=True)):
                 meta = self._meta_for_step(self.step)
                 if meta is None:
+                    if self.rank == 0:
+                        self.save()
                     return
                 if max_steps is not None and self.step >= max_steps:
+                    if self.rank == 0:
+                        self.save()
                     return
 
                 phase = meta["phases"][self.step % len(meta["phases"])]
