@@ -37,7 +37,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from threedhumangan_tpu.models.synthesis import spectral_normalize
 
-_LRELU = lambda x: jnp.where(x >= 0, x, 0.2 * x)
+# leaky relu as min/max algebra: bf16 vector comparisons (jnp.where) do not
+# lower on all Mosaic targets, min/max always do
+_LRELU = lambda x: jnp.maximum(x, 0) + 0.2 * jnp.minimum(x, 0)
 
 
 def fold_synthesis_params(params: Dict, state: Dict, syn_input_params: Dict,
@@ -80,12 +82,25 @@ def fold_synthesis_params(params: Dict, state: Dict, syn_input_params: Dict,
 
 
 def _synthesis_kernel(
-    style_ref, fixed_ref, *rest_refs,
-    weight_names, num_blocks, mod_blocks, map3d_mode, tile_rows, width,
-    height, compute_dtype,
+    *refs,
+    weight_names, num_blocks, block_start, block_end, mod_blocks, map3d_mode,
+    tile_rows, width, height, compute_dtype, has_x_in,
 ):
-    weight_refs = rest_refs[: len(weight_names)]
-    out_ref = rest_refs[len(weight_names)]
+    """One fused stage covering blocks [block_start, block_end).
+
+    The whole 9-block network at width 420 plus double-buffered inputs
+    exceeds the 16 MB VMEM budget, so the network runs as ceil(NB/5)
+    stages; (x, rgb) round-trip HBM once per stage boundary — still ~15x
+    less traffic than the per-op XLA formulation.
+    """
+    idx0 = 0
+    style_ref = refs[idx0]; idx0 += 1
+    fixed_ref = refs[idx0]; idx0 += 1
+    if has_x_in:
+        x_in_ref = refs[idx0]; idx0 += 1
+        rgb_in_ref = refs[idx0]; idx0 += 1
+    weight_refs = refs[idx0 : idx0 + len(weight_names)]
+    x_out_ref, rgb_out_ref = refs[idx0 + len(weight_names) :]
     W = {n: r[:] for n, r in zip(weight_names, weight_refs)}
 
     t = pl.program_id(1)
@@ -96,22 +111,28 @@ def _synthesis_kernel(
             x.astype(compute_dtype), w.astype(compute_dtype),
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
 
-    # 2D coord grid for this row tile (channels: row coord, col coord in
-    # [-1, 1]; models/synthesis.get_2d_coords layout)
-    rows = jax.lax.broadcasted_iota(jnp.float32, (tile_rows, width), 0)
-    cols = jax.lax.broadcasted_iota(jnp.float32, (tile_rows, width), 1)
-    gi = ((t * tile_rows + rows) * (2.0 / (height - 1)) - 1.0).reshape(P, 1)
-    gj = (cols * (2.0 / (width - 1)) - 1.0).reshape(P, 1)
-    coords = jnp.concatenate([gi, gj], axis=-1)
-
-    x = jnp.sin(mm(coords, W["in_w"]) + W["in_b"])
-    x = x.astype(compute_dtype)
+    if has_x_in:
+        x = x_in_ref[0].reshape(P, -1).astype(compute_dtype)
+        rgb = rgb_in_ref[0].reshape(P, -1).astype(jnp.float32)
+    else:
+        # 2D coord grid for this row tile (channels: row coord, col coord in
+        # [-1, 1]; models/synthesis.get_2d_coords layout) — built directly in
+        # (P, 1) layout (a (tile, W) -> (P, 1) reshape is an unsupported
+        # minor-dim cast in Mosaic)
+        idx = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+        rows = (idx // width).astype(jnp.float32)
+        cols = (idx % width).astype(jnp.float32)
+        gi = (t * tile_rows + rows) * (2.0 / (height - 1)) - 1.0
+        gj = cols * (2.0 / (width - 1)) - 1.0
+        coords = jnp.concatenate([gi, gj], axis=-1)
+        x = jnp.sin(mm(coords, W["in_w"]) + W["in_b"])
+        x = x.astype(compute_dtype)
+        rgb = None
 
     style = style_ref[0].reshape(P, -1).astype(compute_dtype)
     fixed = fixed_ref[0].astype(compute_dtype)  # (1, F)
 
-    rgb = None
-    for i in range(num_blocks):
+    for i in range(block_start, block_end):
         if map3d_mode == "all":
             in_style = style + fixed
         elif map3d_mode == "mixed":
@@ -123,13 +144,20 @@ def _synthesis_kernel(
 
         x_orig = x
         for si in (0, 1):
-            normed = x.astype(jnp.float32) * W[f"b{i}_sp{si}_norm_a"] + W[f"b{i}_sp{si}_norm_b"]
-            actv = jnp.maximum(mm(in_style, W[f"b{i}_sp{si}_sh_w"]) + W[f"b{i}_sp{si}_sh_b"], 0.0)
-            actv = actv.astype(compute_dtype)
-            gamma = 1.0 + mm(actv, W[f"b{i}_sp{si}_g_w"]) + W[f"b{i}_sp{si}_g_b"]
-            beta = mm(actv, W[f"b{i}_sp{si}_bt_w"]) + W[f"b{i}_sp{si}_bt_b"]
-            x = _LRELU(normed * gamma + beta).astype(compute_dtype)
-            x = (mm(x, W[f"b{i}_conv{si}_w"]) + W[f"b{i}_conv{si}_b"]).astype(compute_dtype)
+            # keep all (P, C) temporaries in compute dtype — the Mosaic
+            # stack allocator does not reuse buffers across the unrolled
+            # block iterations, so f32 temporaries overflow VMEM
+            cd = compute_dtype
+            a = W[f"b{i}_sp{si}_norm_a"].astype(cd)
+            b = W[f"b{i}_sp{si}_norm_b"].astype(cd)
+            normed = x * a + b
+            actv = jnp.maximum(
+                mm(in_style, W[f"b{i}_sp{si}_sh_w"]) + W[f"b{i}_sp{si}_sh_b"], 0.0
+            ).astype(cd)
+            gamma = (1.0 + mm(actv, W[f"b{i}_sp{si}_g_w"]) + W[f"b{i}_sp{si}_g_b"]).astype(cd)
+            beta = (mm(actv, W[f"b{i}_sp{si}_bt_w"]) + W[f"b{i}_sp{si}_bt_b"]).astype(cd)
+            x = _LRELU(normed * gamma + beta).astype(cd)
+            x = (mm(x, W[f"b{i}_conv{si}_w"]) + W[f"b{i}_conv{si}_b"]).astype(cd)
 
         if i >= num_blocks // 2 and x.shape[-1] == x_orig.shape[-1]:
             x = x + x_orig
@@ -138,13 +166,16 @@ def _synthesis_kernel(
             r = mm(x, W[f"b{i}_rgb_w"]) + W[f"b{i}_rgb_b"]
             rgb = r if rgb is None else rgb + r
 
-    out_ref[0] = rgb.reshape(tile_rows, width, 3)
+    x_out_ref[0] = x.reshape(tile_rows, width, -1).astype(x_out_ref.dtype)
+    if rgb is None:
+        rgb = jnp.zeros((P, 3), jnp.float32)
+    rgb_out_ref[0] = rgb.reshape(tile_rows, width, 3)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("num_blocks", "mod_blocks", "map3d_mode", "tile_rows",
-                     "compute_dtype", "interpret"),
+                     "compute_dtype", "interpret", "blocks_per_stage"),
 )
 def fused_synthesis(
     folded: Dict,
@@ -153,47 +184,84 @@ def fused_synthesis(
     num_blocks: int,
     mod_blocks: Tuple[int, ...],
     map3d_mode: str,
-    tile_rows: int = 16,
+    tile_rows: int = 4,
     compute_dtype=jnp.bfloat16,
     interpret: bool = False,
+    blocks_per_stage: int = 4,
 ) -> jax.Array:
-    """Returns rgb (B, H, W, 3) float32."""
+    """Returns rgb (B, H, W, 3) float32.
+
+    Runs the network in ceil(num_blocks / blocks_per_stage) fused stages so
+    each stage's weights fit the 16 MB VMEM budget at width 420.
+    """
     B, H, Wd, F = style_map.shape
     assert H % tile_rows == 0
-    names = tuple(sorted(folded))
-    weights = {
+    hidden = folded["b0_conv0_w"].shape[1]
+
+    cast = lambda d: {
         n: (w.astype(compute_dtype) if n.endswith("_w") else w.astype(jnp.float32))
-        for n, w in folded.items()
+        for n, w in d.items()
     }
 
-    kernel = functools.partial(
-        _synthesis_kernel,
-        weight_names=names, num_blocks=num_blocks, mod_blocks=tuple(mod_blocks),
-        map3d_mode=map3d_mode, tile_rows=tile_rows, width=Wd, height=H,
-        compute_dtype=compute_dtype)
-
     grid = (B, H // tile_rows)
-    in_specs = [
+    base_specs = [
         pl.BlockSpec((1, tile_rows, Wd, F), lambda b, t: (b, t, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, F), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
-    ] + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in names]
-    out_specs = pl.BlockSpec((1, tile_rows, Wd, 3), lambda b, t: (b, t, 0, 0),
-                             memory_space=pltpu.VMEM)
+    ]
+    x_spec = pl.BlockSpec((1, tile_rows, Wd, hidden), lambda b, t: (b, t, 0, 0),
+                          memory_space=pltpu.VMEM)
+    rgb_spec = pl.BlockSpec((1, tile_rows, Wd, 3), lambda b, t: (b, t, 0, 0),
+                            memory_space=pltpu.VMEM)
 
-    hidden = folded["b0_conv0_w"].shape[1]
-    flops_px = num_blocks * 2 * 2 * (hidden * 128 + 128 * hidden * 2 + hidden * hidden)
+    fixed_style = fixed_style.reshape(B, 1, F)
+    x = None
+    rgb = None
 
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=jax.ShapeDtypeStruct((B, H, Wd, 3), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=B * H * Wd * flops_px,
-            bytes_accessed=B * H * Wd * F * 2 + B * H * Wd * 3 * 4,
-            transcendentals=B * H * Wd * hidden,
-        ),
-        interpret=interpret,
-    )(style_map, fixed_style.reshape(B, 1, F), *[weights[n] for n in names])
+    for start in range(0, num_blocks, blocks_per_stage):
+        end = min(start + blocks_per_stage, num_blocks)
+        stage = {n: w for n, w in folded.items()
+                 if n.startswith("in_") and start == 0
+                 or any(n.startswith(f"b{i}_") for i in range(start, end))}
+        stage = cast(stage)
+        names = tuple(sorted(stage))
+        has_x_in = start > 0
+
+        kernel = functools.partial(
+            _synthesis_kernel,
+            weight_names=names, num_blocks=num_blocks,
+            block_start=start, block_end=end,
+            mod_blocks=tuple(mod_blocks), map3d_mode=map3d_mode,
+            tile_rows=tile_rows, width=Wd, height=H,
+            compute_dtype=compute_dtype, has_x_in=has_x_in)
+
+        in_specs = list(base_specs)
+        args = [style_map, fixed_style]
+        if has_x_in:
+            in_specs += [x_spec, rgb_spec]
+            args += [x, rgb]
+        in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in names]
+        args += [stage[n] for n in names]
+
+        n_stage = end - start
+        flops_px = n_stage * 2 * 2 * (hidden * 128 + 128 * hidden * 2 + hidden * hidden)
+        x, rgb = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=[x_spec, rgb_spec],
+            out_shape=[
+                # stage-boundary activations stay in compute dtype (bf16):
+                # they round-trip HBM once per stage
+                jax.ShapeDtypeStruct((B, H, Wd, hidden), compute_dtype),
+                jax.ShapeDtypeStruct((B, H, Wd, 3), jnp.float32),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=B * H * Wd * flops_px,
+                bytes_accessed=B * H * Wd * (F + hidden) * 2,
+                transcendentals=B * H * Wd * (hidden if start == 0 else 0),
+            ),
+            interpret=interpret,
+        )(*args)
+
+    return rgb
