@@ -56,6 +56,8 @@ class Preprocessor:
         v_mean: float = 0.0,
         h_stddev: float = 0.0,
         v_stddev: float = 0.0,
+        raster_tile: int = 32,
+        raster_faces_per_tile: int = 2048,
         **_unused,
     ):
         self.height = gen_height
@@ -65,6 +67,8 @@ class Preprocessor:
         self.h_stddev, self.v_stddev = h_stddev, v_stddev
         self.smpl_faces = np.asarray(smpl_faces, np.int32)
         self.faces_to_labels = jnp.asarray(faces_to_labels, np.int32)
+        self.raster_tile = raster_tile
+        self.raster_faces_per_tile = raster_faces_per_tile
 
     # -- public API ---------------------------------------------------------
 
@@ -157,7 +161,8 @@ class Preprocessor:
         # z-buffer (ops/rasterize.py) — the dense path measured ~300 ms/img
         # at 512x256 on v5e and dominated the training step
         pix_to_face, bary, zbuf = rasterize_mesh_binned(
-            verts_screen, jnp.asarray(self.smpl_faces), (self.height, self.width))
+            verts_screen, jnp.asarray(self.smpl_faces), (self.height, self.width),
+            tile=self.raster_tile, max_faces_per_tile=self.raster_faces_per_tile)
 
         bg_mask = pix_to_face < 0
         face_safe = jnp.maximum(pix_to_face, 0)
@@ -221,4 +226,6 @@ def get_preprocessor(meta: Dict, smpl_model: Optional[SMPLModel] = None,
         v_mean=meta.get("v_mean", 0.0),
         h_stddev=meta.get("h_stddev", 0.0),
         v_stddev=meta.get("v_stddev", 0.0),
+        raster_tile=meta.get("raster_tile", 32),
+        raster_faces_per_tile=meta.get("raster_faces_per_tile", 2048),
     )

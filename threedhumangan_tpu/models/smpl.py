@@ -252,9 +252,17 @@ def synthetic_smpl_model(
     spine, smooth skinning weights by joint proximity.
     """
     rs = np.random.RandomState(seed)
-    theta = rs.uniform(0, 2 * np.pi, num_verts)
-    height = rs.uniform(-0.9, 0.9, num_verts)
-    radius = 0.25 + 0.05 * rs.randn(num_verts)
+
+    # structured cylinder mesh (rows x cols grid): local faces with small
+    # screen-space bounding boxes, matching real body-mesh topology (random
+    # vertex triples would make every face span the whole body, which is
+    # pathological for the tile-binned rasterizer and unlike any real mesh)
+    cols = max(8, int(np.sqrt(num_verts / 2)))
+    rows = max(2, num_verts // cols)
+    num_verts = rows * cols
+    theta = np.tile(np.linspace(0, 2 * np.pi, cols, endpoint=False), rows)
+    height = np.repeat(np.linspace(-0.9, 0.9, rows), cols)
+    radius = 0.25 + 0.02 * rs.randn(num_verts)
     v_template = np.stack(
         [radius * np.cos(theta), height, radius * np.sin(theta)], axis=-1
     ).astype(np.float32)
@@ -274,7 +282,22 @@ def synthetic_smpl_model(
     w = np.exp(-d.T / 0.1)  # (V, J)
     lbs_weights = w / w.sum(axis=1, keepdims=True)
 
-    faces = rs.randint(0, num_verts, size=(num_faces, 3)).astype(np.int64)
+    # two triangles per grid quad (wrapping around the cylinder)
+    quads = []
+    for r in range(rows - 1):
+        for c in range(cols):
+            v00 = r * cols + c
+            v01 = r * cols + (c + 1) % cols
+            v10 = (r + 1) * cols + c
+            v11 = (r + 1) * cols + (c + 1) % cols
+            quads.append([v00, v01, v10])
+            quads.append([v01, v11, v10])
+    faces = np.asarray(quads, np.int64)
+    if len(faces) >= num_faces:
+        faces = faces[:num_faces]
+    else:  # pad by repeating (degenerate duplicates are harmless)
+        reps = -(-num_faces // len(faces))
+        faces = np.tile(faces, (reps, 1))[:num_faces]
 
     n_betas = 10
     return SMPLModel(
