@@ -97,6 +97,55 @@ def preprocess_smpl_fix_body(
     return out
 
 
+def preprocess_smpl_fix_camera(
+    pred: Dict, joints: List[int], smpl_tpose_vertices: np.ndarray,
+    inference: bool = False,
+) -> Dict:
+    """fix_camera variant: body stays posed, camera is fixed (ref :183-235)."""
+    sx, sy, tx, ty = np.asarray(pred["orig_cam"][0], np.float32)
+    sx = sx / 2.0
+    skeleton_xyz = np.asarray(pred["joints"][0], np.float32)[joints]
+
+    K = np.eye(4, dtype=np.float32)
+    K[0, 0] = K[1, 1] = FOCAL
+    R = np.eye(4, dtype=np.float32)
+    T = np.eye(4, dtype=np.float32)
+    T[0, 3], T[1, 3], T[2, 3] = tx, ty, FOCAL / sx
+
+    world2cam = R @ T
+    cam2world = np.linalg.inv(world2cam)
+
+    tpose_vertices = np.asarray(smpl_tpose_vertices, np.float32).copy()
+    tpose_vertices[..., 1] += 0.35
+
+    out = {
+        "scales": np.float32(sx),
+        "skeletons_xyz": skeleton_xyz.astype(np.float32),
+        "intrinsics": K,
+        "tpose_vertices": tpose_vertices,
+        "tpose_vertices_shaped": np.asarray(pred["tpose_vertices"][0], np.float32),
+        "full_pose": np.asarray(pred["full_pose"][0], np.float32),
+        "fk_matrices": np.asarray(pred["fk_matrices"][0], np.float32),
+        "lbs_weights": np.asarray(pred["lbs_weights"], np.float32),
+        "cam2world_matrices": cam2world.astype(np.float32),
+        "R": R,
+        "T": T,
+    }
+    if inference:
+        out["body_shape"] = np.asarray(pred["betas"][0], np.float32)
+    return out
+
+
+def preprocess_smpl(pred, joints, smpl_tpose_vertices, coordinate_mode="fix_body",
+                    inference=False):
+    """Dispatch by coordinate_mode (ref preprocess_smpl :107-114)."""
+    if coordinate_mode == "fix_body":
+        return preprocess_smpl_fix_body(pred, joints, smpl_tpose_vertices, inference)
+    if coordinate_mode == "fix_camera":
+        return preprocess_smpl_fix_camera(pred, joints, smpl_tpose_vertices, inference)
+    raise NotImplementedError(coordinate_mode)
+
+
 class SHHQDataset:
     """Directory-layout loader (ref :27-320)."""
 
@@ -112,6 +161,7 @@ class SHHQDataset:
         self.inference = kwargs.get("inference", False)
         self.image_only = kwargs.get("image_only", False)
         self.condition_only = kwargs.get("condition_only", False)
+        self.coordinate_mode = kwargs.get("coordinate_mode", "fix_body")
         self.smpl_model: SMPLModel = kwargs.get("smpl_model") or get_smpl_model(
             os.path.join("datasets", "SMPL_NEUTRAL.pkl"))
         self.smpl_tpose_vertices = np.asarray(self.smpl_model.v_template)
@@ -154,8 +204,9 @@ class SHHQDataset:
         except Exception:
             with open(p, "rb") as f:
                 pred = pickle.load(f)
-        return preprocess_smpl_fix_body(
-            pred, self.joints, self.smpl_tpose_vertices, self.inference)
+        return preprocess_smpl(
+            pred, self.joints, self.smpl_tpose_vertices,
+            self.coordinate_mode, self.inference)
 
     def __getitem__(self, index) -> Dict:
         index = self._skip_corrupted(index)

@@ -41,13 +41,16 @@ def _init_conv(key, kh, kw, cin, cout, weight_scale=1.0):
 
 
 def _conv(p, x, stride=1, padding="SAME", w_override=None, compute_dtype=jnp.float32):
+    # no preferred_element_type here: a widened (f32) output makes the conv
+    # TRANSPOSE rule mix an f32 cotangent with bf16 weights, which
+    # lax.conv_general_dilated rejects — the MXU still accumulates in f32
+    # internally for bf16 inputs, only the stored output is bf16
     w = (p["w"] if w_override is None else w_override).astype(compute_dtype)
     y = jax.lax.conv_general_dilated(
         x.astype(compute_dtype), w, (stride, stride), padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
     )
-    return y + p["b"].astype(jnp.float32)
+    return y + p["b"].astype(y.dtype)
 
 
 def _sn_conv(p, sn_state, x, train, compute_dtype=jnp.float32):

@@ -195,17 +195,67 @@ def render(
         weights = None
     else:
         # --- field evaluation (hot path, XLA formulation) ---
-        field_out = field_apply(
-            params["neural_field"], points, freq, phase, modulation, ray_dirs_exp,
-            input_scaler=2.0 / meta["side_length"], compute_dtype=compute_dtype,
-            fast_math=meta.get("fast_math", True))
+        def _field(field_params, f, p, pts, geo, dirs):
+            return field_apply(
+                field_params, pts, f, p, geo, dirs,
+                input_scaler=2.0 / meta["side_length"], compute_dtype=compute_dtype,
+                fast_math=meta.get("fast_math", True))
 
-        field_out = field_out.reshape(B, render_w * render_h, num_steps, feature_dim + 4)
+        if meta.get("remat_field", True):
+            # rematerialize the SIREN in the backward pass: its per-layer sin
+            # activations are the largest training residuals (B x 65k x H per
+            # layer; the reference instead pays batch_split micro-batching).
+            # params/freq/phase are explicit arguments so their grads flow.
+            _field = jax.checkpoint(_field)
 
-        # --- integration (hierarchical_sample is off in all shipped configs;
-        # sample_pdf is available in volume_rendering for parity) ---
+        def eval_field(pts, geo, dirs):
+            return _field(params["neural_field"], freq, phase, pts, geo, dirs)
+
+        coarse_out = eval_field(points, modulation, ray_dirs_exp)
+        coarse_out = coarse_out.reshape(B, render_w * render_h, num_steps, feature_dim + 4)
+
+        if meta.get("hierarchical_sample", False):
+            # NeRF importance resampling (ref render :450-508; off in all
+            # shipped configs but part of the surface).  fine_steps ==
+            # coarse_steps, matching the reference call (ref :240-242).
+            k_noise, k_hier, k_pdf = jax.random.split(k_noise, 3)
+            n_rays = render_w * render_h
+            _, _, c_weights = vr.ray_integration(
+                jax.lax.stop_gradient(coarse_out), z_vals,
+                noise_std=noise_std, rng=k_hier if not _is_zero(noise_std) else None,
+                clamp_mode=meta["clamp_mode"])
+            w_flat = c_weights.reshape(B * n_rays, num_steps) + 1e-5
+            z_flat = z_vals.reshape(B * n_rays, num_steps)
+            z_mid = 0.5 * (z_flat[:, :-1] + z_flat[:, 1:])
+            fine_z = vr.sample_pdf(z_mid, w_flat[:, 1:-1], num_steps, rng=k_pdf)
+            fine_z = jax.lax.stop_gradient(fine_z.reshape(B, n_rays, num_steps, 1))
+
+            fine_points = (
+                ray_origins[:, :, None, :]
+                + ray_dirs[:, :, None, :] * fine_z
+            ).reshape(B, n_rays * num_steps, 3)
+            fine_geo = jax.lax.stop_gradient(
+                jnp.zeros((B, fine_points.shape[1], meta["geo_feature_dim"]), points.dtype)
+                if meta.get("disable_modulation", False) else
+                get_geo_features(fine_points, skeletons, vertices, tpose_vertices,
+                                 fk_matrices, lbs_weights,
+                                 legacy_mode=meta.get("legacy_mode", False),
+                                 use_pallas_knn=meta.get("pallas_knn", False)))
+            fine_out = eval_field(fine_points, fine_geo, ray_dirs_exp)
+            fine_out = fine_out.reshape(B, n_rays, num_steps, feature_dim + 4)
+
+            # merge coarse + fine sorted by depth (ref :503-508)
+            all_out = jnp.concatenate([fine_out, coarse_out], axis=-2)
+            all_z = jnp.concatenate([fine_z, z_vals], axis=-2)
+            order = jnp.argsort(all_z[..., 0], axis=-1)
+            all_z = jnp.take_along_axis(all_z, order[..., None], axis=-2)
+            all_out = jnp.take_along_axis(all_out, order[..., None], axis=-2)
+            field_out, z_for_int = all_out, all_z
+        else:
+            field_out, z_for_int = coarse_out, z_vals
+
         render_out, depths, weights = vr.ray_integration(
-            field_out, z_vals,
+            field_out, z_for_int,
             noise_std=noise_std, rng=k_noise if not _is_zero(noise_std) else None,
             white_back=meta.get("white_back", False),
             last_back=meta.get("last_back", False),
@@ -351,7 +401,8 @@ def generator_forward(
         syn_out, syn_state = syn.apply_synthesis_network(
             params["synthesis_network"], state["synthesis_network"], _synthesis_meta(meta),
             synthesis_input, feature_maps, synthesis_styles,
-            train=train, axis_name=axis_name, compute_dtype=compute_dtype)
+            train=train, axis_name=axis_name, compute_dtype=compute_dtype,
+            remat=train and meta.get("remat_synthesis", True))
         new_state = dict(state)
         new_state["synthesis_network"] = syn_state
         output = {"rgbs": syn_out["final"], "rgbs_render": rgb_render}

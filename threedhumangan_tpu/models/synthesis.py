@@ -33,6 +33,7 @@ TPU-first design decisions:
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Dict, Optional, Tuple
 
@@ -476,6 +477,7 @@ def init_synthesis_network(
 def apply_synthesis_network(
     params, state, meta, x, style, fixed_style, rgb=None,
     train=False, axis_name=None, compute_dtype=jnp.float32, return_internal=False,
+    remat=False,
 ):
     """(ref map3d_generator.py:58-97)
 
@@ -518,13 +520,21 @@ def apply_synthesis_network(
 
         skip = idx >= num_blocks // 2
         if pixelwise:
-            x = apply_synthesis_block(
-                params["blocks"][idx], x, input_style, skip=skip, compute_dtype=compute_dtype)
+            block_fn = functools.partial(
+                apply_synthesis_block, skip=skip, compute_dtype=compute_dtype)
+            if remat:
+                block_fn = jax.checkpoint(block_fn)
+            x = block_fn(params["blocks"][idx], x, input_style)
             new_block_states.append({})
         else:
-            x, bs = apply_spade_block(
-                params["blocks"][idx], state["blocks"][idx], x, input_style, norm,
+            block_fn = functools.partial(
+                apply_spade_block, normalization=norm,
                 skip=skip, train=train, axis_name=axis_name, compute_dtype=compute_dtype)
+            if remat:
+                # recompute block activations in the backward pass — at
+                # 512x256x420 each block's residuals are ~GB-scale
+                block_fn = jax.checkpoint(block_fn)
+            x, bs = block_fn(params["blocks"][idx], state["blocks"][idx], x, input_style)
             new_block_states.append(bs)
 
         if idx >= num_blocks // 2 - 1:

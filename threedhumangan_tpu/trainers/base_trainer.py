@@ -108,6 +108,10 @@ class Trainer:
         self.preprocessor = get_preprocessor(meta, smpl_model=self.dataset.smpl_model)
         self._stage_meta = dict(meta)
         self._stage_meta.pop("nerf_noise", None)
+        # geo features are stop-gradient data prep, so the Pallas 1-NN kernel
+        # is usable in training whenever a real accelerator is present
+        self._stage_meta.setdefault(
+            "pallas_knn", jax.default_backend() not in ("cpu",))
 
     def _meta_for_step(self, step: int) -> Optional[Dict]:
         meta = configs.extract_metadata(self.config, step)
@@ -137,6 +141,51 @@ class Trainer:
 
     # -- logging ----------------------------------------------------------------
 
+    def write_options(self):
+        """Dump opt/config/model summaries (ref write_options :148-157)."""
+        from threedhumangan_tpu.utils.debug import count_params
+
+        with open(os.path.join(self.output_dir, "options.txt"), "w") as f:
+            f.write(str(vars(self.opt) if hasattr(self.opt, "__dict__") else self.opt))
+            f.write("\n\n")
+            f.write(f"generator: {count_params(self.ts.params_G):,} params\n")
+            f.write(f"discriminator: {count_params(self.ts.params_D):,} params\n")
+            f.write("\n\n")
+            f.write(repr({k: v for k, v in self.config.items() if isinstance(k, str)}))
+
+    def log_image(self, meta: Dict) -> None:
+        """Save fixed/tilted EMA sample grids as PNGs (stands in for the
+        reference's TensorBoard grids, ref log_image :226-310)."""
+        from PIL import Image
+
+        from threedhumangan_tpu.data.utils import make_grid
+        from threedhumangan_tpu.models.generator import staged_forward
+
+        n = min(4, self.proc_batch_size if self.proc_batch_size > 0 else 4)
+        data = next(self.loader_fn(seed=123, shuffle=False))
+        batch = {k: jnp.asarray(v[:n]) for k, v in data.items()}
+
+        eval_meta = dict(self._stage_meta)
+        eval_meta["nerf_noise"] = 0
+        eval_meta["perturb_rays"] = False
+        eval_meta["h_stddev"] = eval_meta["v_stddev"] = 0
+
+        key = jax.random.PRNGKey(self.step)
+        k_pre, k_z, k_gen = jax.random.split(key, 3)
+
+        for tag, h_mean in (("fixed", 0.0), ("tilted", float(meta.get("vis_rotate", 0.5)))):
+            cond = self.preprocessor.forward_with_rotation(
+                batch,
+                jnp.full((n,), h_mean), jnp.zeros((n,)), jnp.zeros((n,)))
+            z = jax.random.normal(k_z, (n, eval_meta["latent_dim"]))
+            out, _ = staged_forward(
+                self.ts.ema["params"], self.ts.state_G, z, cond, k_gen, eval_meta,
+                truncation_psi=0.7)
+            imgs = np.clip(np.asarray(out["rgbs"]) * 0.5 + 0.5, 0, 1)
+            grid = make_grid(imgs, nrow=2)
+            path = os.path.join(self.output_dir, f"{self.step:08d}_{tag}_ema.png")
+            Image.fromarray((grid * 255).astype(np.uint8)).save(path)
+
     def _log(self, scalars: Dict[str, float]):
         if self.rank != 0:
             return
@@ -150,6 +199,9 @@ class Trainer:
         n_epochs = getattr(self.opt, "n_epochs", 1)
         save_interval = getattr(self.opt, "model_save_interval", 1000)
         keep_interval = getattr(self.opt, "model_keep_interval", 5000)
+        sample_interval = getattr(self.opt, "sample_interval", 0)
+        if self.rank == 0:
+            self.write_options()
         t0 = time.time()
 
         for epoch in range(n_epochs):
@@ -194,6 +246,10 @@ class Trainer:
 
                 if self.rank == 0 and self.step % save_interval == 0 and self.step > 0:
                     self.save()
+
+                if (self.rank == 0 and sample_interval
+                        and self.step % sample_interval == 0 and self.step > 0):
+                    self.log_image(meta)  # ref run :439-443
 
         if self.rank == 0:
             self.save()

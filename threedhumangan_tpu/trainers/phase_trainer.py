@@ -67,6 +67,33 @@ def init_train_state(key, meta: Dict) -> TrainState:
     )
 
 
+def _disc_input_real(real_images, phase, meta):
+    """(ref _get_disc_input_real :162-188).  The reference's alpha-dependent
+    dual-discrimination rescale uses a runtime-varying resolution; under jit
+    we pin alpha=1 semantics (fade_steps=1 in every shipped config, so alpha
+    reaches 1 after the first step)."""
+    B = real_images.shape[0]
+    rh, rw = meta["render_height"], meta["render_width"]
+    gh, gw = meta["gen_height"], meta["gen_width"]
+    if meta.get("dual_discrimination", False):
+        down = jax.image.resize(real_images, (B, rh, rw, 3), "bilinear")
+        render_like = jax.image.resize(down, (B, gh, gw, 3), "bilinear")
+        return jnp.concatenate([render_like, real_images], axis=-1)
+    if "render" in phase["gen_modal"]:
+        return jax.image.resize(real_images, (B, rh, rw, 3), "bilinear")
+    return real_images
+
+
+def _disc_input_gen(gen_out, phase, meta):
+    """(ref _get_disc_input_gen :191-200)"""
+    if meta.get("dual_discrimination", False):
+        rgbs = gen_out["rgbs"]
+        B, gh, gw, _ = rgbs.shape
+        render_up = jax.image.resize(gen_out["rgbs_render"], (B, gh, gw, 3), "bilinear")
+        return jnp.concatenate([render_up, rgbs], axis=-1)
+    return gen_out[phase["gen_modal"]]
+
+
 def _choose_segments(rng, rotate: bool, rasterized, body, p: float = 0.5):
     """ref :352-354 — rotated phases must use rasterized labels (annotations
     no longer align); otherwise a 50/50 coin."""
@@ -117,6 +144,7 @@ def d_train_step(
     data = preprocessor(data, phase["rotate"], k_pre)
 
     real_images = _maybe_augment(data["images"], k_aug1, meta, ada_p)
+    real_images = _disc_input_real(real_images, phase, meta)
     B = real_images.shape[0]
     real_segments = _choose_segments(
         k_seg, phase["rotate"], data["rasterized_segments"],
@@ -129,7 +157,7 @@ def d_train_step(
         latent_indices=None if phase["uncond"] else data["indices"],
         train=True, axis_name=axis_name, compute_dtype=cdt, nerf_noise=nerf_noise,
         disable_synthesis=(phase["gen_modal"] != "rgbs"))
-    fake_images = jax.lax.stop_gradient(gen_out[phase["gen_modal"]])
+    fake_images = jax.lax.stop_gradient(_disc_input_gen(gen_out, phase, meta))
     fake_images = _maybe_augment(fake_images, k_aug2, meta, ada_p)
     state_G = jax.lax.stop_gradient(state_G)
 
@@ -240,7 +268,7 @@ def g_train_step(
             latent_indices=None if phase["uncond"] else data["indices"],
             train=True, axis_name=axis_name, compute_dtype=cdt, nerf_noise=nerf_noise,
             disable_synthesis=(phase["gen_modal"] != "rgbs"))
-        fake_images = gen_out[phase["gen_modal"]]
+        fake_images = _disc_input_gen(gen_out, phase, meta)
         fake_aug = _maybe_augment(fake_images, k_aug, meta, ada_p)
 
         out, sD = discriminator_forward(
@@ -275,7 +303,10 @@ def g_train_step(
             lat = 0.0 * jnp.sum(out["latents"]) if "latents" in out else 0.0
 
         if not phase["uncond"] and meta.get("photometric_lambda", 0) > 0:
-            photo = meta["photometric_lambda"] * L.smooth_l1(fake_images, data["images"])
+            # photometric loss compares the raw generated modal, not the
+            # (possibly 6-channel dual) discriminator input (ref :525-529)
+            photo = meta["photometric_lambda"] * L.smooth_l1(
+                gen_out[phase["gen_modal"]], data["images"])
             stats["photometric_loss"] = moments(photo)
         else:
             photo = 0.0
