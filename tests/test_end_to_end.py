@@ -127,3 +127,50 @@ def test_second_step_reuses_compilation(tiny):
     meta2 = copy.deepcopy(meta)
     ts, _ = train_step_pair(ts, batch, jax.random.PRNGKey(5), meta2, pre, phase, 1e-4, 4e-4, 0.9)
     assert int(ts.step) == 2
+
+
+def test_hierarchical_sampling_path(tiny):
+    meta, smpl, ds, pre, batch = tiny
+    meta_h = dict(meta)
+    meta_h["hierarchical_sample"] = True
+    rng = jax.random.PRNGKey(7)
+    cond = pre(batch, rotate=False, rng=rng)
+    params, state = init_generator(rng, meta_h)
+    z = jax.random.normal(rng, (2, meta["latent_dim"]))
+    out, _ = generator_forward(params, state, z, cond, rng, meta_h, train=True)
+    assert out["rgbs"].shape == (2, meta["gen_height"], meta["gen_width"], 3)
+    assert np.isfinite(np.asarray(out["rgbs"])).all()
+    # gradients flow through the hierarchical merge
+    def loss(p):
+        o, _ = generator_forward(p, state, z, cond, rng, meta_h, train=True)
+        return jnp.mean(o["rgbs"] ** 2)
+    g = jax.grad(loss)(params)
+    gn = float(jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in jax.tree.leaves(g))))
+    assert np.isfinite(gn) and gn > 0
+
+
+def test_dual_discrimination_step(tiny):
+    meta, smpl, ds, pre, batch = tiny
+    meta_d = dict(meta)
+    meta_d["dual_discrimination"] = True
+    rng = jax.random.PRNGKey(11)
+    ts = init_train_state(rng, meta_d)
+    phase = meta["phases"][0]
+    ts2, stats = train_step_pair(
+        ts, batch, rng, meta_d, pre, phase, lr_g=1e-4, lr_d=4e-4, nerf_noise=1.0)
+    assert int(ts2.step) == 1
+    d_loss = float(stats["d_loss"][1] / stats["d_loss"][0])
+    assert np.isfinite(d_loss)
+
+
+def test_batch_split_step(tiny):
+    meta, smpl, ds, pre, batch = tiny
+    meta_s = dict(meta)
+    meta_s["batch_split"] = 2
+    rng = jax.random.PRNGKey(13)
+    ts = init_train_state(rng, meta_s)
+    phase = meta["phases"][0]
+    ts2, stats = train_step_pair(
+        ts, batch, rng, meta_s, pre, phase, lr_g=1e-4, lr_d=4e-4, nerf_noise=1.0)
+    assert int(ts2.step) == 1
+    assert np.isfinite(float(stats["g_loss"][1]))
