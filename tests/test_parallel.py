@@ -84,3 +84,46 @@ def test_dryrun_multichip_entry():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_sequence_parallel_render_matches_single_device(rng):
+    """Ray-axis (sequence-parallel) sharding over a 2-axis mesh reproduces
+    the unsharded render exactly (parallel/sp.py)."""
+    from threedhumangan_tpu.models import volume_rendering as vr
+    from threedhumangan_tpu.models.siren import (
+        apply_coordconcat_siren,
+        init_coordconcat_siren,
+    )
+    from threedhumangan_tpu.parallel.mesh import create_mesh
+    from threedhumangan_tpu.parallel.sp import sp_render_rays
+
+    B, R, S = 2, 16, 4
+    H, G, F, NB = 16, 31, 8, 4
+    P_pts = R * S
+    meta = {"num_steps": S, "side_length": 2.85, "clamp_mode": "relu",
+            "white_back": True, "neural_field_cls": "COORDCONCATSIREN",
+            "fast_math": False}
+
+    params = init_coordconcat_siren(rng, 3, H, G, F, NB)
+    ks = jax.random.split(rng, 6)
+    points = jax.random.normal(ks[0], (B, P_pts, 3))
+    geo = 0.3 * jax.random.normal(ks[1], (B, P_pts, G))
+    dirs = jax.random.normal(ks[2], (B, P_pts, 3))
+    freq = 0.1 * jax.random.normal(ks[3], (B, NB * H))
+    phase = 0.1 * jax.random.normal(ks[4], (B, NB * H))
+    z_vals = jnp.sort(jax.random.uniform(ks[5], (B, R, S)) + 1.0, axis=-1)
+
+    # single device reference
+    out = apply_coordconcat_siren(params, points, freq, phase, geo, dirs,
+                                  input_scaler=2.0 / 2.85)
+    out = out.reshape(B, R, S, F + 4)
+    ref, ref_depth, _ = vr.ray_integration(
+        out, z_vals[..., None], noise_std=0.0, white_back=True, clamp_mode="relu")
+
+    mesh = create_mesh(n_data=2, n_model=4)
+    got, got_depth = sp_render_rays(
+        mesh, params, points, geo, dirs, freq, phase, z_vals, meta,
+        compute_dtype=jnp.float32)
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_depth), np.asarray(ref_depth), rtol=2e-4, atol=2e-5)

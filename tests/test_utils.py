@@ -152,3 +152,30 @@ def test_prefetch_iterator():
     assert next(it) == 1
     with pytest.raises(ValueError):
         list(it)
+
+
+def test_frechet_distance_math():
+    from threedhumangan_tpu.utils.fid import compute_statistics, frechet_distance
+
+    rs = np.random.RandomState(0)
+    a = rs.randn(500, 8)
+    b = rs.randn(500, 8) + 2.0
+    mu_a, s_a = compute_statistics(a)
+    mu_b, s_b = compute_statistics(b)
+    # identical distributions -> ~0
+    assert frechet_distance(mu_a, s_a, mu_a, s_a) < 1e-8
+    # mean shift of 2 in 8 dims -> ~= 8 * 4 = 32
+    d = frechet_distance(mu_a, s_a, mu_b, s_b)
+    assert 25 < d < 40
+
+
+def test_fid_between_images():
+    from threedhumangan_tpu.utils.fid import fid_between
+
+    rs = np.random.RandomState(1)
+    a = rs.uniform(-1, 1, (8, 16, 16, 3)).astype(np.float32)
+    b = a + 0.5
+    same = fid_between(a, a)
+    diff = fid_between(a, b)
+    assert same < 1e-6
+    assert diff > same
