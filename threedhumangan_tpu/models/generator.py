@@ -201,11 +201,14 @@ def render(
                 input_scaler=2.0 / meta["side_length"], compute_dtype=compute_dtype,
                 fast_math=meta.get("fast_math", True))
 
+        # rematerialize the SIREN in the backward pass: its per-layer sin
+        # activations are the largest training residuals.  Default ON (the
+        # full D+G step OOMs without it at batch 8 even for the 65k-point
+        # config once both steps'" "'executables are resident); a standalone
+        # G step is ~27% faster with remat_field/remat_synthesis disabled
+        # when memory allows.  params/freq/phase are explicit arguments of
+        # the checkpointed fn so their grads flow.
         if meta.get("remat_field", True):
-            # rematerialize the SIREN in the backward pass: its per-layer sin
-            # activations are the largest training residuals (B x 65k x H per
-            # layer; the reference instead pays batch_split micro-batching).
-            # params/freq/phase are explicit arguments so their grads flow.
             _field = jax.checkpoint(_field)
 
         def eval_field(pts, geo, dirs):
