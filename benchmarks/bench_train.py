@@ -41,6 +41,7 @@ def main():
     meta = dict(configs.extract_metadata(getattr(configs, opt.config), 0))
     meta["dataset_length"] = opt.batch
     meta["pallas_knn"] = jax.default_backend() not in ("cpu",)
+    meta["pallas_field"] = meta["pallas_knn"]
 
     B = opt.batch
     smpl = synthetic_smpl_model(num_verts=6890, num_faces=13776)

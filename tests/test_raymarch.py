@@ -125,3 +125,36 @@ def test_fused_kernel_fast_sin_close(rng):
     out_e, _ = fused_field_render(params, packed, freq, phase, z_vals, exact_sin=True, **kw)
     out_f, _ = fused_field_render(params, packed, freq, phase, z_vals, exact_sin=False, **kw)
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_e), rtol=1e-2, atol=1e-3)
+
+
+def test_fused_kernel_noise_column_matches_xla(rng):
+    """The optional noise column reproduces the XLA noisy integration when
+    fed identical noise values."""
+    B, R, S = 1, 8, 4
+    H, G, F, NB = 16, 31, 8, 4
+    P = R * S
+    params = init_coordconcat_siren(rng, 3, H, G, F, NB)
+    ks = jax.random.split(rng, 6)
+    points = 0.5 * jax.random.normal(ks[0], (B, P, 3))
+    geo = 0.3 * jax.random.normal(ks[1], (B, P, G))
+    dirs = jax.random.normal(ks[2], (B, P, 3))
+    freq = 0.1 * jax.random.normal(ks[3], (B, NB * H))
+    phase = 0.1 * jax.random.normal(ks[4], (B, NB * H))
+    z_vals = jnp.sort(jax.random.uniform(ks[5], (B, R, S)) + 1.0, axis=-1)
+    noise = 0.5 * jax.random.normal(jax.random.PRNGKey(42), (B, P, 1))
+
+    from threedhumangan_tpu.models.siren import apply_coordconcat_siren as f
+    field = f(params, points, freq, phase, geo, dirs, input_scaler=0.7)
+    field = field.reshape(B, R, S, F + 4)
+    # XLA path: add the same noise to sigma manually, then integrate noiseless
+    field_noised = field.at[..., -1].add(noise.reshape(B, R, S))
+    ref, ref_depth, _ = vr.ray_integration(
+        field_noised, z_vals[..., None], noise_std=0.0, white_back=True,
+        clamp_mode="relu")
+
+    packed = pack_field_inputs(points, geo, dirs, 0.7, noise=noise)
+    out, depth = fused_field_render(
+        params, packed, freq, phase, z_vals, num_steps=S, tile_rays=4,
+        white_back=True, compute_dtype=jnp.float32, interpret=True, exact_sin=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(depth), np.asarray(ref_depth), rtol=2e-4, atol=2e-5)

@@ -114,6 +114,7 @@ def render(
     meta: Dict,
     compute_dtype=jnp.float32,
     nerf_noise=None,
+    pallas_ok: bool = True,
 ):
     """Volume-render the pose-conditioned field (ref render :381-523).
 
@@ -173,15 +174,23 @@ def render(
 
     use_pallas = (
         meta.get("pallas_field", False)
-        and _is_zero(noise_std)
+        and pallas_ok
+        and not meta.get("hierarchical_sample", False)
         and meta["clamp_mode"] == "relu"
     )
     if use_pallas:
         # fused Pallas ray-march: field + integration in VMEM per ray tile
-        # (forward-only; training keeps the XLA path below for autodiff)
+        # (forward-only: inference and the D-step fake generation — the
+        # G-step grad path sets pallas_ok=False and keeps the XLA path).
+        # Training-time nerf_noise rides as an extra packed column.
         from threedhumangan_tpu.ops.raymarch import fused_field_render, pack_field_inputs
 
-        packed = pack_field_inputs(points, modulation, ray_dirs_exp, 2.0 / meta["side_length"])
+        noise_col = None
+        if not _is_zero(noise_std):
+            noise_col = noise_std * jax.random.normal(k_noise, (B, n_points, 1))
+        packed = pack_field_inputs(
+            points, modulation, ray_dirs_exp, 2.0 / meta["side_length"],
+            noise=noise_col)
         render_out, depths = fused_field_render(
             params["neural_field"], packed, freq, phase,
             z_vals.reshape(B, render_w * render_h, num_steps),
@@ -204,7 +213,7 @@ def render(
         # rematerialize the SIREN in the backward pass: its per-layer sin
         # activations are the largest training residuals.  Default ON (the
         # full D+G step OOMs without it at batch 8 even for the 65k-point
-        # config once both steps'" "'executables are resident); a standalone
+        # config once both step executables are resident); a standalone
         # G step is ~27% faster with remat_field/remat_synthesis disabled
         # when memory allows.  params/freq/phase are explicit arguments of
         # the checkpointed fn so their grads flow.
@@ -299,6 +308,7 @@ def generator_forward(
     disable_synthesis: bool = False,
     with_depth: bool = False,
     nerf_noise=None,
+    pallas_ok: bool = True,
 ):
     """Unified forward (ref forward :208-280 and staged_forward :282-378 —
     the two differ only by truncation/depth, both supported here).
@@ -350,7 +360,7 @@ def generator_forward(
     else:
         rgb_render, feature_maps, depths, weights, extrinsics = render(
             params, freq, phase, conditions, rng, meta, compute_dtype,
-            nerf_noise=nerf_noise)
+            nerf_noise=nerf_noise, pallas_ok=pallas_ok)
 
     interp = meta.get("feature_map_interpolation", "bilinear")
     # upsample in compute dtype: the (B, gen_h, gen_w, F) style map is the

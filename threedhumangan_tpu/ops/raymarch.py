@@ -47,7 +47,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-INPUT_PACK = 37  # 3 coords + 31 geo + 3 ray dirs
+INPUT_PACK = 37  # 3 coords + 31 geo + 3 ray dirs (+1 optional sigma noise)
 
 
 def fast_sin(x):
@@ -70,16 +70,22 @@ def fast_sin(x):
     return p * sign
 
 
-def pack_field_inputs(points, geo, dirs, input_scaler: float):
-    """(B, P, 3/31/3) -> (B, P, 37) with the coord scaling folded in.
-    P is ray-major (p = r * num_steps + s), as produced by the renderer."""
-    return jnp.concatenate([points * input_scaler, geo, dirs], axis=-1)
+def pack_field_inputs(points, geo, dirs, input_scaler: float, noise=None):
+    """(B, P, 3/31/3) -> (B, P, 37[+1]) with the coord scaling folded in.
+    P is ray-major (p = r * num_steps + s), as produced by the renderer.
+    ``noise`` (B, P, 1), when given, rides as an extra column and is added to
+    sigma before the density clamp (the training-time nerf_noise,
+    ref volume_rendering.py:24-29)."""
+    cols = [points * input_scaler, geo, dirs]
+    if noise is not None:
+        cols.append(noise)
+    return jnp.concatenate(cols, axis=-1)
 
 
 def _field_slab(weights, slab, freq, phase, hidden_dim, geo_dim, compute_dtype,
-                exact_sin=False):
-    """SIREN on one (TILE_R, 37) step-slab -> (field (TILE_R, F+3),
-    sigma (TILE_R, 1))."""
+                exact_sin=False, with_noise=False):
+    """SIREN on one (TILE_R, 37[+1]) step-slab -> (field (TILE_R, F+3),
+    sigma (TILE_R, 1) with any noise column already added)."""
     f32 = jnp.float32
     _sin = jnp.sin if exact_sin else fast_sin
 
@@ -111,6 +117,9 @@ def _field_slab(weights, slab, freq, phase, hidden_dim, geo_dim, compute_dtype,
     p = phase[n_blocks - 1 : n_blocks, :]  # slice (reference quirk)
     xc = _sin(f * (mm(xc, weights["w_color"]) + weights["b_color"]) + p)
 
+    if with_noise:
+        sigma = sigma + slab[:, 3 + geo_dim + 3 : 3 + geo_dim + 4].astype(jnp.float32)
+
     rgb = jax.nn.sigmoid(mm(xc, weights["w_rgb"]) + weights["b_rgb"])
     feat = mm(xc, weights["w_feat"]) + weights["b_feat"]
     return jnp.concatenate([rgb, feat], axis=-1), sigma
@@ -120,7 +129,7 @@ def _raymarch_kernel(
     packed_ref, freq_ref, phase_ref, z_ref,
     *rest_refs,
     weight_names, hidden_dim, geo_dim, tile_rays, num_steps,
-    white_back, last_back, compute_dtype, exact_sin,
+    white_back, last_back, compute_dtype, exact_sin, with_noise,
 ):
     # pallas passes refs as (inputs..., outputs...): weights then out/depth
     weight_refs = rest_refs[: len(weight_names)]
@@ -142,7 +151,7 @@ def _raymarch_kernel(
     for s in range(S - 1):
         field_s, sigma_s = _field_slab(
             weights, pk[s], freq, phase, hidden_dim, geo_dim, compute_dtype,
-            exact_sin)
+            exact_sin, with_noise)
         z_s = z[:, s : s + 1]
         delta = z[:, s + 1 : s + 2] - z_s
         alpha = 1.0 - jnp.exp(-delta * jnp.maximum(sigma_s, 0.0))
@@ -157,7 +166,7 @@ def _raymarch_kernel(
     # transmittance folded into the last weight
     field_l, sigma_l = _field_slab(
         weights, pk[S - 1], freq, phase, hidden_dim, geo_dim, compute_dtype,
-        exact_sin)
+        exact_sin, with_noise)
     z_l = z[:, S - 1 : S]
     alpha_l = 1.0 - jnp.exp(-1e9 * jnp.maximum(sigma_l, 0.0))
     w_l = alpha_l * T
@@ -214,7 +223,8 @@ def fused_field_render(
     exact_sin: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (rendered (B, R, feature_dim+3), depth (B, R, 1))."""
-    B, P, _ = packed_inputs.shape
+    B, P, n_cols = packed_inputs.shape
+    with_noise = n_cols == INPUT_PACK + 1
     R = P // num_steps
     assert R % tile_rays == 0, (R, tile_rays)
     n_tiles = R // tile_rays
@@ -233,8 +243,8 @@ def fused_field_render(
         for n, w in weights.items()
     }
 
-    # step-major slabs: (B, P, 37) -> (B, S, R, 37)
-    packed_sm = packed_inputs.reshape(B, R, num_steps, INPUT_PACK).transpose(0, 2, 1, 3)
+    # step-major slabs: (B, P, C) -> (B, S, R, C)
+    packed_sm = packed_inputs.reshape(B, R, num_steps, n_cols).transpose(0, 2, 1, 3)
 
     # (B, NB*H) -> (B, NB, H): per-layer conditioning becomes a sublane-row
     # slice in the kernel (lane-offset slices break Mosaic broadcasts), and
@@ -248,12 +258,12 @@ def fused_field_render(
         weight_names=names, hidden_dim=hidden_dim, geo_dim=geo_dim,
         tile_rays=tile_rays, num_steps=num_steps,
         white_back=white_back, last_back=last_back, compute_dtype=compute_dtype,
-        exact_sin=exact_sin)
+        exact_sin=exact_sin, with_noise=with_noise)
 
     grid = (B, n_tiles)
 
     in_specs = [
-        pl.BlockSpec((1, num_steps, tile_rays, INPUT_PACK), lambda b, t: (b, 0, t, 0),
+        pl.BlockSpec((1, num_steps, tile_rays, n_cols), lambda b, t: (b, 0, t, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, n_blocks, hidden_dim), lambda b, t: (b, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -284,7 +294,7 @@ def fused_field_render(
         ],
         cost_estimate=pl.CostEstimate(
             flops=B * P * flops_per_pt,
-            bytes_accessed=B * P * INPUT_PACK * 4 + B * R * (feature_dim + 4) * 4,
+            bytes_accessed=B * P * n_cols * 4 + B * R * (feature_dim + 4) * 4,
             transcendentals=B * P * 6 * hidden_dim,
         ),
         interpret=interpret,

@@ -109,9 +109,11 @@ class Trainer:
         self._stage_meta = dict(meta)
         self._stage_meta.pop("nerf_noise", None)
         # geo features are stop-gradient data prep, so the Pallas 1-NN kernel
-        # is usable in training whenever a real accelerator is present
-        self._stage_meta.setdefault(
-            "pallas_knn", jax.default_backend() not in ("cpu",))
+        # is usable in training whenever a real accelerator is present; the
+        # fused ray-march likewise serves every no-grad forward (D-step fakes)
+        on_accel = jax.default_backend() not in ("cpu",)
+        self._stage_meta.setdefault("pallas_knn", on_accel)
+        self._stage_meta.setdefault("pallas_field", on_accel)
 
     def _meta_for_step(self, step: int) -> Optional[Dict]:
         meta = configs.extract_metadata(self.config, step)

@@ -267,7 +267,8 @@ def g_train_step(
             params_G, ts.state_G, z, data, k_g, meta,
             latent_indices=None if phase["uncond"] else data["indices"],
             train=True, axis_name=axis_name, compute_dtype=cdt, nerf_noise=nerf_noise,
-            disable_synthesis=(phase["gen_modal"] != "rgbs"))
+            disable_synthesis=(phase["gen_modal"] != "rgbs"),
+            pallas_ok=False)  # grads flow through the field: XLA path
         fake_images = _disc_input_gen(gen_out, phase, meta)
         fake_aug = _maybe_augment(fake_images, k_aug, meta, ada_p)
 
