@@ -84,7 +84,10 @@ def last_upsample_step(config: dict, current_step: int) -> int:
 
 def get_config(opt) -> dict:
     """Resolve opt.config by name and apply --tune/--variant sweeps."""
-    name = opt.config if isinstance(opt.config, str) else opt.config
+    name = opt.config
+    if name not in _REGISTRY:
+        raise ValueError(
+            f"unknown config {name!r}; available: {sorted(_REGISTRY)}")
     config = copy.deepcopy(_REGISTRY[name])
 
     tune = getattr(opt, "tune", "") or ""
