@@ -1,0 +1,260 @@
+"""Numerical parity against the ACTUAL reference torch implementation.
+
+These tests import the reference modules from /root/reference (torch-only
+pieces; smplx/pytorch3d are stubbed since they are only touched by modules
+we don't exercise), copy the torch weights into our pytrees, run both on the
+same inputs, and compare.  This pins the semantics of:
+
+  * pi-GAN SineLayer / FiLMLayer          (pigan_layers.py:63-87)
+  * SpatialStyleModLayer                  (map3d_layers.py:25-80) — validates
+      our algebraic demodulation refactor against the reference einsum
+  * SPADE2d (instance norm)               (map3d_layers.py:153-190)
+  * MappingNetwork                        (mapping_networks.py:13-41)
+  * UNetDiscriminator (full forward)      (unet_discriminators.py)
+
+Skipped automatically when /root/reference or torch is unavailable.
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference"
+
+
+def _stub(name):
+    mod = types.ModuleType(name)
+    sys.modules[name] = mod
+    return mod
+
+
+@pytest.fixture(scope="module")
+def ref_modules():
+    import os
+
+    if not os.path.isdir(REF):
+        pytest.skip("reference repo not mounted")
+    # stub the CUDA-library imports the torch-only modules drag in
+    for name in ["smplx", "smplx.body_models", "smplx.utils", "smplx.lbs",
+                 "pytorch3d", "pytorch3d.ops", "pytorch3d.renderer",
+                 "pytorch3d.structures", "pytorch3d.transforms", "cv2",
+                 "joblib", "tqdm", "torchvision", "torchvision.transforms",
+                 "imageio"]:
+        if name not in sys.modules:
+            m = _stub(name)
+            # attributes accessed at import time
+            for attr in ["SMPL", "Tensor", "SMPLOutput", "blend_shapes",
+                         "vertices2joints", "batch_rodrigues",
+                         "batch_rigid_transform", "knn_points", "knn_gather",
+                         "PerspectiveCameras", "MeshRasterizer",
+                         "RasterizationSettings", "Meshes",
+                         "euler_angles_to_matrix", "tqdm"]:
+                setattr(m, attr, object)
+    sys.path.insert(0, REF)
+    try:
+        import lib.components.pigan_layers as ref_pigan
+        import lib.components.map3d_layers as ref_m3d
+        import lib.components.mapping_networks as ref_map
+        from lib.discriminators.unet_discriminators import UNetDiscriminator
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"reference import failed: {e}")
+    finally:
+        sys.path.remove(REF)
+    return ref_pigan, ref_m3d, ref_map, UNetDiscriminator
+
+
+def t2n(t):
+    return t.detach().cpu().numpy()
+
+
+# ---------------------------------------------------------------------------
+
+
+def test_film_layer_parity(ref_modules):
+    ref_pigan, _, _, _ = ref_modules
+    torch.manual_seed(0)
+    layer = ref_pigan.FiLMLayer(12, 16)
+    x = torch.randn(2, 7, 12)
+    freq = torch.randn(2, 16)
+    phase = torch.randn(2, 16)
+    ref_out = t2n(layer(x, freq, phase))
+
+    # ours: sin(freq * (x @ W^T + b) + phase)
+    w = jnp.asarray(t2n(layer.layer.weight).T)
+    b = jnp.asarray(t2n(layer.layer.bias))
+    y = jnp.einsum("bni,io->bno", jnp.asarray(t2n(x)), w) + b
+    out = jnp.sin(jnp.asarray(t2n(freq))[:, None] * y + jnp.asarray(t2n(phase))[:, None])
+    np.testing.assert_allclose(np.asarray(out), ref_out, rtol=1e-4, atol=1e-5)
+
+
+def test_sine_layer_parity(ref_modules):
+    ref_pigan, _, _, _ = ref_modules
+    torch.manual_seed(1)
+    layer = ref_pigan.SineLayer(5, 8)
+    x = torch.randn(3, 4, 5)
+    ref_out = t2n(layer(x))
+    w = jnp.asarray(t2n(layer.layer.weight).T)
+    b = jnp.asarray(t2n(layer.layer.bias))
+    out = jnp.sin(30.0 * (jnp.asarray(t2n(x)) @ w + b))
+    np.testing.assert_allclose(np.asarray(out), ref_out, rtol=1e-4, atol=1e-5)
+
+
+def test_spatial_style_mod_parity(ref_modules):
+    """Our two-matmul demodulation refactor vs the reference's per-pixel
+    (B, N, in, out) einsum."""
+    _, ref_m3d, _, _ = ref_modules
+    from threedhumangan_tpu.models.synthesis import apply_spatial_style_mod
+
+    torch.manual_seed(2)
+    layer = ref_m3d.SpatialStyleModLayer(in_channel=10, out_channel=6, style_dim=10)
+    x = torch.randn(2, 15, 10)
+    style = torch.randn(2, 15, 10)
+    ref_out = t2n(layer(x, style))
+
+    params = {
+        "weight": jnp.asarray(t2n(layer.weight)[0, 0]),  # (in, out)
+        "bias": jnp.asarray(t2n(layer.bias)[0, 0]),
+        "affine": {
+            "w": jnp.asarray(t2n(layer.affine.weight).T),
+            "b": jnp.asarray(t2n(layer.affine.bias)),
+        },
+    }
+    out = apply_spatial_style_mod(params, jnp.asarray(t2n(x)), jnp.asarray(t2n(style)))
+    np.testing.assert_allclose(np.asarray(out), ref_out, rtol=2e-4, atol=2e-5)
+
+
+def test_spade2d_instance_norm_parity(ref_modules):
+    _, ref_m3d, _, _ = ref_modules
+    from threedhumangan_tpu.models.synthesis import apply_spade2d
+
+    torch.manual_seed(3)
+    layer = ref_m3d.SPADE2d(input_dim=6, feature_dim=4, normalization="instance_norm").eval()
+    x = torch.randn(2, 6, 8, 5)          # NCHW
+    feats = torch.randn(2, 4, 8, 5)
+    ref_out = t2n(layer(x, feats)).transpose(0, 2, 3, 1)  # -> NHWC
+
+    def conv_p(conv):
+        return {"w": jnp.asarray(t2n(conv.weight)[:, :, 0, 0].T),
+                "b": jnp.asarray(t2n(conv.bias))}
+
+    params = {
+        "mlp_shared": conv_p(layer.mlp_shared[0]),
+        "mlp_gamma": conv_p(layer.mlp_gamma),
+        "mlp_beta": conv_p(layer.mlp_beta),
+    }
+    out, _ = apply_spade2d(
+        params, {}, jnp.asarray(t2n(x).transpose(0, 2, 3, 1)),
+        jnp.asarray(t2n(feats).transpose(0, 2, 3, 1)),
+        normalization="instance_norm", train=False)
+    np.testing.assert_allclose(np.asarray(out), ref_out, rtol=1e-3, atol=1e-4)
+
+
+def test_mapping_network_parity(ref_modules):
+    _, _, ref_map, _ = ref_modules
+    from threedhumangan_tpu.models.mapping import apply_mapping_network
+
+    torch.manual_seed(4)
+    net = ref_map.MappingNetwork(latent_dim=16, map_hidden_dim=32, map_output_dim=64)
+    z = torch.randn(3, 16)
+    ref_freq, ref_phase = net(z)
+
+    linears = [m for m in net.network if isinstance(m, torch.nn.Linear)]
+    params = {"layers": [
+        {"w": jnp.asarray(t2n(m.weight).T), "b": jnp.asarray(t2n(m.bias))}
+        for m in linears
+    ]}
+    freq, phase = apply_mapping_network(params, jnp.asarray(t2n(z)))
+    np.testing.assert_allclose(np.asarray(freq), t2n(ref_freq), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(phase), t2n(ref_phase), rtol=1e-4, atol=1e-5)
+
+
+def test_unet_discriminator_parity(ref_modules):
+    """Full-forward parity: reference torch D vs our NHWC rebuild with the
+    same weights."""
+    _, _, _, RefD = ref_modules
+    from threedhumangan_tpu.models.discriminator import (
+        discriminator_forward,
+        init_discriminator,
+    )
+
+    meta = {"latent_dim": 24, "label_dim": 11, "semantic_dim": 0,
+            "gen_height": 64, "gen_width": 32}
+    torch.manual_seed(5)
+    ref = RefD(**meta)
+    # freshly-initialized spectral norm wildly underestimates sigma (the
+    # raw reference at eval outputs ~1e30!); converge the power iteration
+    # with train-mode forwards so both sides divide by the true sigma
+    with torch.no_grad():
+        ref.train()
+        warm = torch.randn(1, 3, 64, 32)
+        for _ in range(50):
+            ref(warm, None, 1.0)
+    ref = ref.eval()
+
+    key = jax.random.PRNGKey(0)
+    params, state = init_discriminator(key, meta)
+    sd = ref.state_dict()
+
+    def conv_from(prefix):
+        w = t2n(sd[prefix + ".weight_orig"]) if prefix + ".weight_orig" in sd \
+            else t2n(sd[prefix + ".weight"])
+        b = t2n(sd[prefix + ".bias"])
+        return {"w": jnp.asarray(w.transpose(2, 3, 1, 0)), "b": jnp.asarray(b)}
+
+    def sn_from(prefix, fallback):
+        if prefix + ".weight_u" in sd:
+            return {"u": jnp.asarray(t2n(sd[prefix + ".weight_u"]))}
+        return fallback
+
+    def _conv_idx(prefix):
+        # find the index of the conv inside the Sequential
+        for idx in (1, 2):
+            if f"{prefix}.{idx}.weight_orig" in sd or f"{prefix}.{idx}.weight" in sd:
+                return idx
+        raise KeyError(prefix)
+
+    def load_resblock(tag, bp, bs, first):
+        if first:
+            c1 = tag + ".conv1"
+        else:
+            c1 = f"{tag}.conv1.{_conv_idx(tag + '.conv1')}"
+        c2 = f"{tag}.conv2.{_conv_idx(tag + '.conv2')}"
+        bp["conv1"] = conv_from(c1)
+        bp["conv2"] = conv_from(c2)
+        bs["conv1"] = sn_from(c1, bs["conv1"])
+        bs["conv2"] = sn_from(c2, bs["conv2"])
+        if "conv_s" in bp:
+            bp["conv_s"] = conv_from(tag + ".conv_s")
+            bs["conv_s"] = sn_from(tag + ".conv_s", bs["conv_s"])
+
+    for i in range(len(params["down"])):
+        load_resblock(f"body_down.{i}", params["down"][i], state["down"][i], first=(i == 0))
+    for i in range(len(params["up"])):
+        load_resblock(f"body_up.{i}", params["up"][i], state["up"][i], first=False)
+    params["layer_up_last"] = conv_from("layer_up_last")
+    params["output_layer"] = conv_from("output_layer")
+    params["latent_layer"] = conv_from("latent_layer")
+
+    torch.manual_seed(6)
+    x = torch.randn(2, 3, 64, 32)
+    with torch.no_grad():
+        ref_out = ref(x, None, 1.0)
+
+    out, _ = discriminator_forward(
+        params, state, jnp.asarray(t2n(x).transpose(0, 2, 3, 1)), train=False)
+
+    np.testing.assert_allclose(
+        np.asarray(out["prediction"])[..., 0], t2n(ref_out["prediction"])[:, 0],
+        rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(out["segments"]).transpose(0, 3, 1, 2), t2n(ref_out["segments"]),
+        rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(out["latents"]), t2n(ref_out["latents"]), rtol=2e-3, atol=2e-3)
