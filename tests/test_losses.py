@@ -103,11 +103,26 @@ def test_r1_on_quadratic_discriminator():
     np.testing.assert_allclose(float(r1_gan), expected, rtol=1e-5)
 
 
-def test_topk_filter():
-    pred = jnp.arange(8.0).reshape(8, 1, 1, 1)
-    vals, k = L.topk_filter(pred, step=0, meta={})
-    assert k == 8
-    # frac = max(0.99^50, 0.5) = 0.605 -> k = ceil(0.605 * 8) = 5 (ref :482-487)
-    vals, k = L.topk_filter(pred, step=100000, meta={"topk_interval": 2000, "topk_v": 0.5})
-    assert k == 5
-    np.testing.assert_allclose(np.asarray(vals), [7, 6, 5, 4, 3], atol=1e-6)
+def test_gan_loss_g_topk_matches_torch_oracle():
+    """torch.topk(pred, ceil(frac*B), dim=0) then softplus(-v).mean()
+    (ref phase_trainer.py:482-494)."""
+    import math
+
+    import torch
+
+    pred = np.random.RandomState(0).randn(8, 1, 4, 4).astype(np.float32)
+    meta = {"topk_interval": 2000, "topk_v": 0.5}
+    step = 100000
+    pct = max(0.99 ** (step / meta["topk_interval"]), meta["topk_v"])
+    topk_num = math.ceil(pct * pred.shape[0])
+    assert topk_num == 5
+    t = torch.topk(torch.from_numpy(pred), topk_num, dim=0).values
+    expected = torch.nn.functional.softplus(-t).mean().item()
+    got = L.gan_loss_g_topk(jnp.asarray(pred), step, meta)
+    np.testing.assert_allclose(float(got), expected, rtol=1e-5)
+
+    # identity (plain mean) when the knobs are unset or fraction == 1
+    got_id = L.gan_loss_g_topk(jnp.asarray(pred), 0, {})
+    np.testing.assert_allclose(float(got_id), float(L.gan_loss_g(jnp.asarray(pred))), rtol=1e-6)
+    got_full = L.gan_loss_g_topk(jnp.asarray(pred), 0, meta)
+    np.testing.assert_allclose(float(got_full), float(L.gan_loss_g(jnp.asarray(pred))), rtol=1e-5)

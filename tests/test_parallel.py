@@ -127,3 +127,65 @@ def test_sequence_parallel_render_matches_single_device(rng):
 
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(np.asarray(got_depth), np.asarray(ref_depth), rtol=2e-4, atol=2e-5)
+
+
+def test_mesh_train_pair_matches_plain_steps():
+    """The production sharded step (make_mesh_train_pair, = reference DDP
+    wrap base_trainer.py:102-104) on a 1-device mesh reproduces the plain
+    unsharded d/g steps exactly, and runs on the full 8-device mesh."""
+    import copy
+
+    from threedhumangan_tpu import configs
+    from threedhumangan_tpu.data.dataset import SyntheticSHHQDataset, iterate_batches
+    from threedhumangan_tpu.data.preprocessor import get_preprocessor
+    from threedhumangan_tpu.models.smpl import synthetic_smpl_model
+    from threedhumangan_tpu.parallel.mesh import create_mesh, shard_batch
+    from threedhumangan_tpu.trainers.phase_trainer import (
+        d_train_step,
+        g_train_step,
+        init_train_state,
+        make_mesh_train_pair,
+    )
+
+    meta = copy.deepcopy(configs.extract_metadata(configs.MAP3DBN_NANO, 0))
+    meta["batch_size"] = 2
+    smpl = synthetic_smpl_model(seed=0, num_verts=96, num_faces=64)
+    meta["dataset_length"] = 2
+    ds = SyntheticSHHQDataset(smpl_model=smpl, **meta)
+    pre = get_preprocessor(meta, smpl_model=smpl)
+    batch = {k: jnp.asarray(v) for k, v in next(iterate_batches(ds, 2, shuffle=False)).items()}
+    phase = {"rotate": False, "do_r1": True, "uncond": True, "gen_modal": "rgbs"}
+
+    ts0 = init_train_state(jax.random.PRNGKey(0), meta)
+    rng = jax.random.PRNGKey(42)
+
+    # plain steps with the mesh step's per-replica RNG folding (axis_index=0)
+    folded = jax.random.fold_in(rng, 0)
+    k_d, k_g = jax.random.split(folded)
+    lr_d, lr_g, noise = jnp.float32(4e-4), jnp.float32(1e-4), jnp.float32(0.5)
+    ts_a, _ = d_train_step(ts0, batch, k_d, lr_d, noise, pre, meta, phase)
+    ts_a, _ = g_train_step(ts_a, batch, k_g, lr_g, noise, pre, meta, phase)
+
+    # mesh step on 1 device
+    mesh1 = create_mesh(n_data=1)
+    step1 = make_mesh_train_pair(mesh1, pre, meta)
+    ts_b, _ = step1(init_train_state(jax.random.PRNGKey(0), meta),
+                    shard_batch(batch, mesh1), rng, phase,
+                    lr_g=1e-4, lr_d=4e-4, nerf_noise=0.5)
+
+    for name in ("params_G", "params_D"):
+        ja = jax.tree.leaves(getattr(ts_a, name))
+        jb = jax.tree.leaves(getattr(ts_b, name))
+        for a, b in zip(ja, jb):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=2e-6)
+
+    # and the same factory runs on the full 8-device mesh (batch 2 -> use
+    # a 2-wide data axis; remaining devices idle)
+    mesh2 = create_mesh(n_data=2)
+    step2 = make_mesh_train_pair(mesh2, pre, meta)
+    ts_c, stats = step2(init_train_state(jax.random.PRNGKey(0), meta),
+                        shard_batch(batch, mesh2), rng, phase,
+                        lr_g=1e-4, lr_d=4e-4, nerf_noise=0.5)
+    assert int(ts_c.step) == 1
+    assert np.isfinite(np.asarray(stats["d_loss"])).all()

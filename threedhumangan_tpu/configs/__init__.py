@@ -20,6 +20,7 @@ from threedhumangan_tpu.configs.map3d import (  # noqa: F401
     MAP3DBN,
     MAP3DBN512,
     MAP3DBN512L,
+    MAP3DBN_NANO,
     MAP3DBN_TINY,
 )
 
@@ -28,6 +29,7 @@ _REGISTRY = {
     "MAP3DBN512": MAP3DBN512,
     "MAP3DBN512L": MAP3DBN512L,
     "MAP3DBN_TINY": MAP3DBN_TINY,
+    "MAP3DBN_NANO": MAP3DBN_NANO,
 }
 
 

@@ -198,3 +198,30 @@ MAP3DBN_TINY = {
 }
 MAP3DBN_TINY["num_steps"] = 8
 MAP3DBN_TINY["use_mixed_precision"] = False
+
+# Smallest-possible config that still exercises every subsystem (rasterize,
+# field, SPADE synthesis w/ skip+ToRGB structure, U-Net D, R1, optimizer):
+# used by the multi-chip sharding dryrun and trainer smoke tests, where XLA
+# compile time — not model quality — is the binding constraint.
+MAP3DBN_NANO = {
+    0: {"batch_size": 2, "batch_split": 1, "gen_lr": 1e-4, "disc_lr": 4e-4},
+    int(1e3 + 1): {},
+    "name": "map3dbn_nano",
+    "render_width": 4,
+    "render_height": 8,
+    "gen_width": 8,
+    "gen_height": 16,
+    "r1_lambda": 0.25,
+    "latent_dim": 16,
+    "hidden_dim": 16,
+    "feature_dim": 16,
+    "map3d_mode": "mixed",
+    "dataset_length": 8,
+    "dataroot": "synthetic",
+    **_common(),
+}
+MAP3DBN_NANO["num_steps"] = 4
+MAP3DBN_NANO["use_mixed_precision"] = False
+MAP3DBN_NANO["synthesis_blocks"] = 3
+MAP3DBN_NANO["mod_blocks"] = [0]
+MAP3DBN_NANO["neural_field_blocks"] = 2

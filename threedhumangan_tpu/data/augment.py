@@ -4,8 +4,12 @@ Functional parity with reference ``lib/data/augment.py`` (AugmentPipe,
 StyleGAN2-ADA): probability-gated pixel blits (xflip, rotate90, integer
 translation), general geometric transforms (isotropic/anisotropic scale,
 arbitrary rotation, fractional translation) applied as ONE composed affine
-warp, and color transforms (brightness, contrast, saturation) applied as ONE
-composed color matrix.
+warp, color transforms (brightness, contrast, lumaflip, hue, saturation)
+composed into ONE homogeneous 4x4 color matrix applied once (ref
+:330-388), wavelet-band image-space filtering (``imgfilter``, ref
+:394-428: per-band log-normal amplification of a sym2 filter bank applied
+as a separable depthwise conv), additive RGB noise and cutout (ref
+:434-453).
 
 Reference caveats this implementation fixes (SURVEY.md §5 'ADA caveat'):
   * the reference never actually applies AugmentPipe to any image batch and
@@ -23,11 +27,65 @@ warp with the surrounding elementwise chain.  Images NHWC in [-1, 1].
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+# sym2 wavelet low-pass coefficients (ref augment.py wavelets['sym2'])
+_SYM2 = [-0.12940952255092145, 0.22414386804185735,
+         0.836516303737469, 0.48296291314469025]
+
+
+@functools.lru_cache()
+def _wavelet_fbank(num_bands: int = 4) -> np.ndarray:
+    """4-band bandpass filter bank from the sym2 wavelet (ref :186-195)."""
+    hz_lo = np.asarray(_SYM2)
+    hz_hi = hz_lo * ((-1.0) ** np.arange(hz_lo.size))
+    hz_lo2 = np.convolve(hz_lo, hz_lo[::-1]) / 2.0
+    hz_hi2 = np.convolve(hz_hi, hz_hi[::-1]) / 2.0
+    fbank = np.eye(num_bands, 1)
+    for i in range(1, num_bands):
+        # upsample rows by 2 (zero-interleave), refine with the lowpass,
+        # then add the highpass band on row i
+        fbank = np.dstack([fbank, np.zeros_like(fbank)]).reshape(
+            fbank.shape[0], -1)[:, :-1]
+        fbank = np.stack([np.convolve(row, hz_lo2) for row in fbank])
+        lo = (fbank.shape[1] - hz_hi2.size) // 2
+        fbank[i, lo:lo + hz_hi2.size] += hz_hi2
+    return fbank.astype(np.float32)
+
+
+# homogeneous 4x4 color-space transform helpers (ref :56-80 matrix utils)
+_LUMA = np.asarray([1.0, 1.0, 1.0, 0.0]) / np.sqrt(3.0)
+
+
+def _translate3d(b):
+    """(B,) -> (B, 4, 4) translation by (b, b, b)."""
+    B = b.shape[0]
+    m = jnp.broadcast_to(jnp.eye(4), (B, 4, 4))
+    return m.at[:, :3, 3].set(b[:, None])
+
+
+def _scale3d(c):
+    """(B,) -> (B, 4, 4) scale by (c, c, c)."""
+    d = jnp.stack([c, c, c, jnp.ones_like(c)], axis=-1)
+    return jax.vmap(jnp.diag)(d)
+
+
+def _rotate3d_luma(theta):
+    """(B,) -> (B, 4, 4) rotation about the luma axis (Rodrigues)."""
+    v = _LUMA[:3] / np.linalg.norm(_LUMA[:3])
+    K = np.asarray([[0, -v[2], v[1]], [v[2], 0, -v[0]], [-v[1], v[0], 0]])
+    vvt = np.outer(v, v)
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    R3 = (cos[:, None, None] * np.eye(3) + sin[:, None, None] * K
+          + (1 - cos)[:, None, None] * vvt)
+    m = jnp.broadcast_to(jnp.eye(4), (theta.shape[0], 4, 4))
+    return m.at[:, :3, :3].set(R3)
 
 
 def _affine2d(theta=0.0, sx=1.0, sy=1.0, tx=0.0, ty=0.0):
@@ -84,16 +142,23 @@ class AugmentPipe:
     def __init__(self, xflip=0, rotate90=0, xint=0, xint_max=0.125,
                  scale=0, rotate=0, aniso=0, xfrac=0,
                  scale_std=0.2, rotate_max=1.0, aniso_std=0.2, xfrac_std=0.125,
-                 brightness=0, contrast=0, saturation=0,
-                 brightness_std=0.2, contrast_std=0.5, saturation_std=1.0,
+                 brightness=0, contrast=0, lumaflip=0, hue=0, saturation=0,
+                 brightness_std=0.2, contrast_std=0.5, hue_max=1.0,
+                 saturation_std=1.0,
+                 imgfilter=0, imgfilter_bands=(1, 1, 1, 1), imgfilter_std=1.0,
+                 noise=0, cutout=0, noise_std=0.1, cutout_size=0.5,
                  **_unused):
         self.cfg = dict(
             xflip=xflip, rotate90=rotate90, xint=xint, xint_max=xint_max,
             scale=scale, rotate=rotate, aniso=aniso, xfrac=xfrac,
             scale_std=scale_std, rotate_max=rotate_max, aniso_std=aniso_std,
             xfrac_std=xfrac_std, brightness=brightness, contrast=contrast,
-            saturation=saturation, brightness_std=brightness_std,
-            contrast_std=contrast_std, saturation_std=saturation_std)
+            lumaflip=lumaflip, hue=hue, saturation=saturation,
+            brightness_std=brightness_std, contrast_std=contrast_std,
+            hue_max=hue_max, saturation_std=saturation_std,
+            imgfilter=imgfilter, imgfilter_bands=tuple(imgfilter_bands),
+            imgfilter_std=imgfilter_std, noise=noise, cutout=cutout,
+            noise_std=noise_std, cutout_size=cutout_size)
         self.p = 0.0
 
     def __call__(self, images: jax.Array, rng: jax.Array, p: Optional[float] = None):
@@ -103,7 +168,7 @@ class AugmentPipe:
 def augment_pipe(images: jax.Array, rng: jax.Array, cfg: Dict, p) -> jax.Array:
     """Apply the pipeline at probability ``p`` (traced scalar ok)."""
     B, H, W, C = images.shape
-    keys = jax.random.split(rng, 20)
+    keys = jax.random.split(rng, 40)
     k = iter(keys)
 
     def gate(key, strength):
@@ -173,24 +238,102 @@ def augment_pipe(images: jax.Array, rng: jax.Array, cfg: Dict, p) -> jax.Array:
         grid = src[..., :2].reshape(B, H, W, 2)
         images = grid_sample_bilinear(images, grid)
 
-    # ---- color transforms (one composed per-channel affine) ----
-    gain = jnp.ones((B, 1, 1, 1))
-    bias = jnp.zeros((B, 1, 1, 1))
+    # ---- color transforms: ONE homogeneous 4x4 matrix, composed in the
+    # reference's order brightness -> contrast -> lumaflip -> hue ->
+    # saturation and applied once (ref :330-388) ----
+    Cm = jnp.broadcast_to(jnp.eye(4), (B, 4, 4))
+    any_color = False
     if cfg.get("brightness", 0):
         do = gate(next(k), cfg["brightness"])
         b = jax.random.normal(next(k), (B,)) * cfg["brightness_std"]
-        bias = bias + jnp.where(do, b, 0.0)[:, None, None, None]
+        Cm = _translate3d(jnp.where(do, b, 0.0)) @ Cm
+        any_color = True
     if cfg.get("contrast", 0):
         do = gate(next(k), cfg["contrast"])
         c = jnp.exp2(jax.random.normal(next(k), (B,)) * cfg["contrast_std"])
-        gain = gain * jnp.where(do, c, 1.0)[:, None, None, None]
-    images = images * gain + bias
-
-    if cfg.get("saturation", 0) and C == 3:
+        Cm = _scale3d(jnp.where(do, c, 1.0)) @ Cm
+        any_color = True
+    vvt = np.outer(_LUMA, _LUMA)
+    if cfg.get("lumaflip", 0):
+        # Householder reflection about the luma axis (ref :350-357)
+        do = gate(next(k), cfg["lumaflip"])
+        i = jnp.floor(jax.random.uniform(next(k), (B,)) * 2)
+        i = jnp.where(do, i, 0.0)
+        Cm = (jnp.eye(4) - 2.0 * vvt * i[:, None, None]) @ Cm
+        any_color = True
+    if cfg.get("hue", 0) and C > 1:
+        # rotation around the luma axis (ref :359-365)
+        do = gate(next(k), cfg["hue"])
+        theta = (jax.random.uniform(next(k), (B,)) * 2 - 1) * (
+            math.pi * cfg.get("hue_max", 1.0))
+        Cm = _rotate3d_luma(jnp.where(do, theta, 0.0)) @ Cm
+        any_color = True
+    if cfg.get("saturation", 0) and C > 1:
+        # blend towards luma (ref :367-372)
         do = gate(next(k), cfg["saturation"])
         s = jnp.exp2(jax.random.normal(next(k), (B,)) * cfg["saturation_std"])
-        s = jnp.where(do, s, 1.0)[:, None, None, None]
-        mean = jnp.mean(images, axis=-1, keepdims=True)
-        images = mean + (images - mean) * s
+        s = jnp.where(do, s, 1.0)
+        Cm = (vvt + (jnp.eye(4) - vvt) * s[:, None, None]) @ Cm
+        any_color = True
+
+    if any_color:
+        px = images.reshape(B, H * W, C)
+        if C == 3:
+            px = jnp.einsum("bij,bnj->bni", Cm[:, :3, :3], px) + Cm[:, None, :3, 3]
+        else:  # single channel: average the RGB rows (ref :384-386)
+            Cme = jnp.mean(Cm[:, :3, :], axis=1)
+            px = px * jnp.sum(Cme[:, None, :3], axis=-1, keepdims=True) \
+                + Cme[:, None, 3:]
+        images = px.reshape(B, H, W, C)
+
+    # ---- image-space filtering: per-band wavelet amplification applied as
+    # a separable depthwise conv with reflect padding (ref :394-428) ----
+    if cfg.get("imgfilter", 0):
+        bands = list(cfg.get("imgfilter_bands", (1, 1, 1, 1)))
+        fbank = jnp.asarray(_wavelet_fbank(len(bands)))  # (bands, taps)
+        expected_power = jnp.asarray(
+            np.array([10.0, 1.0, 1.0, 1.0])[: len(bands)] / 13.0)
+        g = jnp.ones((B, len(bands)))
+        for i, band_strength in enumerate(bands):
+            t_i = jnp.exp2(jax.random.normal(next(k), (B,)) * cfg.get("imgfilter_std", 1.0))
+            t_i = jnp.where(gate(next(k), cfg["imgfilter"] * band_strength), t_i, 1.0)
+            t = jnp.ones((B, len(bands))).at[:, i].set(t_i)
+            t = t / jnp.sqrt(jnp.sum(expected_power * jnp.square(t), axis=-1,
+                                     keepdims=True))
+            g = g * t
+        hz = g @ fbank                              # (B, taps)
+        taps = hz.shape[-1]
+        pad = taps // 2
+        # depthwise separable conv in NHWC: channels become B*C groups
+        x = images.transpose(1, 2, 0, 3).reshape(1, H, W, B * C)
+        x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
+        kern = jnp.repeat(hz[:, None, :], C, axis=1).reshape(B * C, taps)
+        kx = kern.T[None, :, None, :]               # HWIO (1, taps, 1, B*C)
+        x = jax.lax.conv_general_dilated(
+            x, kx, (1, 1), "VALID", feature_group_count=B * C,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        ky = kern.T[:, None, None, :]               # HWIO (taps, 1, 1, B*C)
+        x = jax.lax.conv_general_dilated(
+            x, ky, (1, 1), "VALID", feature_group_count=B * C,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        images = x.reshape(H, W, B, C).transpose(2, 0, 1, 3)
+
+    # ---- image-space corruptions (ref :434-453) ----
+    if cfg.get("noise", 0):
+        sigma = jnp.abs(jax.random.normal(next(k), (B,))) * cfg.get("noise_std", 0.1)
+        sigma = jnp.where(gate(next(k), cfg["noise"]), sigma, 0.0)
+        images = images + jax.random.normal(next(k), images.shape) \
+            * sigma[:, None, None, None]
+    if cfg.get("cutout", 0):
+        size = jnp.where(gate(next(k), cfg["cutout"]),
+                         cfg.get("cutout_size", 0.5), 0.0)
+        center = jax.random.uniform(next(k), (B, 2))
+        cx = jnp.arange(W)[None, None, :]
+        cy = jnp.arange(H)[None, :, None]
+        mask_x = jnp.abs((cx + 0.5) / W - center[:, 0, None, None]) \
+            >= size[:, None, None] / 2
+        mask_y = jnp.abs((cy + 0.5) / H - center[:, 1, None, None]) \
+            >= size[:, None, None] / 2
+        images = images * (mask_x | mask_y)[..., None]
 
     return images

@@ -91,3 +91,23 @@ def make_grid(images: np.ndarray, nrow: int = 8, pad: int = 2, pad_value: float 
         x0 = pad + col * (w + pad)
         canvas[y0 : y0 + h, x0 : x0 + w] = images[i]
     return canvas
+
+
+def colorize_labels(labels: np.ndarray, num_classes: int) -> np.ndarray:
+    """(N, H, W) int labels -> (N, H, W, 3) float RGB in [0, 1].
+
+    Stand-in for the reference's TensorBoard D-segmentation-map images
+    (ref phase_trainer.py log_image :553-683): class 0 (fake) black,
+    class 1 (background) white, body parts on an HSV wheel.
+    """
+    labels = np.asarray(labels).astype(np.int64)
+    palette = np.zeros((max(num_classes, 2), 3), np.float32)
+    palette[1] = 1.0
+    n_parts = max(num_classes - 2, 1)
+    for i in range(2, num_classes):
+        h = (i - 2) / n_parts * 6.0
+        x = 1.0 - abs(h % 2.0 - 1.0)
+        rgb = [(1, x, 0), (x, 1, 0), (0, 1, x),
+               (0, x, 1), (x, 0, 1), (1, 0, x)][int(h) % 6]
+        palette[i] = rgb
+    return palette[np.clip(labels, 0, num_classes - 1)]

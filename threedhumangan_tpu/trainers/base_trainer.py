@@ -32,11 +32,12 @@ import numpy as np
 from threedhumangan_tpu import configs
 from threedhumangan_tpu.data.dataset import get_dataset_distributed
 from threedhumangan_tpu.data.preprocessor import get_preprocessor
+from threedhumangan_tpu.parallel.mesh import create_mesh, shard_batch
 from threedhumangan_tpu.parallel.stats import Collector
 from threedhumangan_tpu.trainers.phase_trainer import (
     TrainState,
     init_train_state,
-    train_step_pair,
+    make_mesh_train_pair,
 )
 from threedhumangan_tpu.utils.checkpoint import (
     latest_checkpoint,
@@ -115,6 +116,16 @@ class Trainer:
         self._stage_meta.setdefault("pallas_knn", on_accel)
         self._stage_meta.setdefault("pallas_field", on_accel)
 
+        # SPMD mesh over all local devices whose count divides the per-proc
+        # batch (TPU-native DDP, ref base_trainer.py:102-104): the batch axis
+        # shards over 'data', grads/BN moments reduce over ICI
+        ndev = jax.local_device_count()
+        n_data = max(n for n in range(1, ndev + 1)
+                     if self.proc_batch_size % n == 0)
+        self.mesh = create_mesh(n_data=n_data)
+        self.train_step = make_mesh_train_pair(
+            self.mesh, self.preprocessor, self._stage_meta)
+
     def _meta_for_step(self, step: int) -> Optional[Dict]:
         meta = configs.extract_metadata(self.config, step)
         if "batch_size" not in meta:
@@ -175,6 +186,9 @@ class Trainer:
         key = jax.random.PRNGKey(self.step)
         k_pre, k_z, k_gen = jax.random.split(key, 3)
 
+        from threedhumangan_tpu.data.utils import colorize_labels
+        from threedhumangan_tpu.models.discriminator import discriminator_forward
+
         for tag, h_mean in (("fixed", 0.0), ("tilted", float(meta.get("vis_rotate", 0.5)))):
             cond = self.preprocessor.forward_with_rotation(
                 batch,
@@ -187,6 +201,20 @@ class Trainer:
             grid = make_grid(imgs, nrow=2)
             path = os.path.join(self.output_dir, f"{self.step:08d}_{tag}_ema.png")
             Image.fromarray((grid * 255).astype(np.uint8)).save(path)
+
+            # D segmentation maps over the EMA samples (ref phase_trainer.py
+            # log_image :553-683 logs the argmax of D's segment head)
+            d_out, _ = discriminator_forward(
+                self.ts.params_D, self.ts.state_D, out["rgbs"], train=False)
+            seg = np.asarray(jnp.argmax(d_out["segments"], axis=-1))
+            seg_rgb = colorize_labels(seg, eval_meta["label_dim"])
+            if seg_rgb.shape[1:3] != imgs.shape[1:3]:
+                seg_rgb = np.asarray(jax.image.resize(
+                    jnp.asarray(seg_rgb),
+                    (seg_rgb.shape[0],) + imgs.shape[1:3] + (3,), "nearest"))
+            seg_grid = make_grid(seg_rgb.astype(np.float32), nrow=2)
+            seg_path = os.path.join(self.output_dir, f"{self.step:08d}_{tag}_dseg.png")
+            Image.fromarray((seg_grid * 255).astype(np.uint8)).save(seg_path)
 
     def _log(self, scalars: Dict[str, float]):
         if self.rank != 0:
@@ -226,19 +254,20 @@ class Trainer:
                 phase = meta["phases"][self.step % len(meta["phases"])]
                 nerf_noise = max(0.0, 1.0 - self.step / 5000.0)  # ref :384
 
-                batch = {k: jnp.asarray(v) for k, v in data.items()}
+                batch = shard_batch(
+                    {k: jnp.asarray(v) for k, v in data.items()}, self.mesh)
                 self.rng, step_key = jax.random.split(self.rng)
-                self.ts, stats = train_step_pair(
-                    self.ts, batch, step_key, meta, self.preprocessor, phase,
-                    lr_g=meta["gen_lr"], lr_d=meta["disc_lr"], nerf_noise=nerf_noise,
-                    ada_p=self.ada_p)
+                self.ts, stats = self.train_step(
+                    self.ts, batch, step_key, phase,
+                    lr_g=meta["gen_lr"], lr_d=meta["disc_lr"],
+                    nerf_noise=nerf_noise, ada_p=self.ada_p)
                 self.step += 1
 
                 # ADA p update (ref run :405-406; interval 0 disables)
                 if meta.get("ada_interval", 0) and self.step % meta["ada_interval"] == 0:
                     self.update_augment(meta, stats)
 
-                if self.rank == 0 and self.step % 10 == 0:
+                if self.rank == 0 and (self.step % 10 == 0 or self.step == 1):
                     self.collector.update(jax.device_get(stats))
                     scalars = {n: self.collector[n] for n in self.collector.names()}
                     scalars["imgs_per_sec"] = (

@@ -140,17 +140,30 @@ def gan_loss_g(pred_gen: jax.Array) -> jax.Array:
     return jnp.mean(jax.nn.softplus(-pred_gen))
 
 
-def topk_filter(pred_gen: jax.Array, step: int, meta: Dict) -> Tuple[jax.Array, int]:
-    """Top-k prediction filtering (ref :482-489); identity unless
-    topk_interval/topk_v configured."""
+def topk_fraction(step, meta: Dict):
+    """Decayed keep-fraction max(0.99^(step/interval), topk_v) (ref :483-486).
+    ``step`` may be traced; returns 1.0 statically when the knobs are unset."""
     if "topk_interval" in meta and "topk_v" in meta:
-        frac = max(0.99 ** (step / meta["topk_interval"]), meta["topk_v"])
-    else:
-        frac = 1.0
+        return jnp.maximum(0.99 ** (step / meta["topk_interval"]), meta["topk_v"])
+    return None
+
+
+def gan_loss_g_topk(pred_gen: jax.Array, step, meta: Dict) -> jax.Array:
+    """Non-saturating G loss over the top-k predictions (ref :482-494).
+
+    The reference applies ``torch.topk(pred_gen, ceil(frac*B), dim=0)`` — a
+    per-location top-k over the BATCH axis — then means softplus(-values).
+    Implemented with a traced k (sort + rank mask) so the decaying fraction
+    never retriggers compilation; softplus(-x) is monotone decreasing, so
+    top-k by value == bottom-k by loss, matching the reference exactly.
+    """
+    frac = topk_fraction(step, meta)
+    if frac is None:
+        return gan_loss_g(pred_gen)
     B = pred_gen.shape[0]
-    k = max(1, int(-(-frac * B // 1)))
-    if k >= B:
-        return pred_gen, B
-    flat = pred_gen.reshape(B, -1).mean(axis=1)
-    vals, _ = jax.lax.top_k(flat, k)
-    return vals, k
+    k = jnp.ceil(frac * B)  # torch topk_num = math.ceil(pct * B)
+    sorted_desc = -jnp.sort(-pred_gen, axis=0)
+    rank = jnp.arange(B).reshape((B,) + (1,) * (pred_gen.ndim - 1))
+    mask = (rank < k).astype(pred_gen.dtype)
+    denom = k * (pred_gen.size // B)
+    return jnp.sum(jax.nn.softplus(-sorted_desc) * mask) / denom

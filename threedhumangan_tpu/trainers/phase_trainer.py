@@ -94,6 +94,34 @@ def _disc_input_gen(gen_out, phase, meta):
     return gen_out[phase["gen_modal"]]
 
 
+_VGG_CACHE: Dict[str, list] = {}
+
+
+def _vgg_convs():
+    """Lazily-built VGG16 feature params (ref phase_trainer.py:51-54 builds
+    the perceptual net once, only when perceptual_lambda > 0)."""
+    if "convs" not in _VGG_CACHE:
+        from threedhumangan_tpu.trainers.perceptual import init_vgg16_features
+
+        _VGG_CACHE["convs"] = init_vgg16_features()
+    return _VGG_CACHE["convs"]
+
+
+def _group_norm_stats(tree: Dict, prefix: str) -> Dict:
+    """Per-top-level-group global-norm scalars (the TPU stand-in for the
+    reference's per-module weight/grad histograms, ref base_trainer.py
+    log_weights :211-223) — emitted as psum-able moment vectors."""
+    out = {}
+    for k, sub in tree.items():
+        leaves = jax.tree.leaves(sub)
+        if not leaves:
+            continue
+        norm = jnp.sqrt(sum(jnp.sum(jnp.square(x.astype(jnp.float32)))
+                            for x in leaves))
+        out[f"{prefix}/{k}"] = moments(norm)
+    return out
+
+
 def _choose_segments(rng, rotate: bool, rasterized, body, p: float = 0.5):
     """ref :352-354 — rotated phases must use rasterized labels (annotations
     no longer align); otherwise a 50/50 coin."""
@@ -150,13 +178,36 @@ def d_train_step(
         k_seg, phase["rotate"], data["rasterized_segments"],
         data["body_segments"].astype(jnp.int32))
 
-    # generate fakes (no grad to G)
+    # generate fakes (no grad to G), batch_split micro-batched via lax.scan
+    # (ref :358-382: per-split no_grad G forwards, outputs concatenated;
+    # scan keeps peak memory at one split's working set and compile size
+    # constant in n_split)
     z = jax.random.normal(k_z, (B, meta["latent_dim"]))
-    gen_out, state_G = generator_forward(
-        ts.params_G, ts.state_G, z, data, k_g, meta,
-        latent_indices=None if phase["uncond"] else data["indices"],
+    n_split = int(meta.get("batch_split", 1))
+    gen_kwargs = dict(
         train=True, axis_name=axis_name, compute_dtype=cdt, nerf_noise=nerf_noise,
         disable_synthesis=(phase["gen_modal"] != "rgbs"))
+
+    def _gen(sG, z_c, data_c, key):
+        return generator_forward(
+            ts.params_G, sG, z_c, data_c, key, meta,
+            latent_indices=None if phase["uncond"] else data_c["indices"],
+            **gen_kwargs)
+
+    if n_split <= 1:
+        gen_out, state_G = _gen(ts.state_G, z, data, k_g)
+    else:
+        chunk = lambda x: x.reshape((n_split, B // n_split) + x.shape[1:])
+
+        def body(sG, xs):
+            data_c, z_c, i = xs
+            out, sG = _gen(sG, z_c, data_c, jax.random.fold_in(k_g, i))
+            return sG, out
+
+        state_G, outs = jax.lax.scan(
+            body, ts.state_G,
+            (jax.tree.map(chunk, data), chunk(z), jnp.arange(n_split)))
+        gen_out = jax.tree.map(lambda x: x.reshape((B,) + x.shape[2:]), outs)
     fake_images = jax.lax.stop_gradient(_disc_input_gen(gen_out, phase, meta))
     fake_images = _maybe_augment(fake_images, k_aug2, meta, ada_p)
     state_G = jax.lax.stop_gradient(state_G)
@@ -219,6 +270,8 @@ def d_train_step(
     (d_loss, (state_D, stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(ts.params_D)
     if axis_name is not None:
         grads = jax.lax.pmean(grads, axis_name)
+    stats.update(_group_norm_stats(grads, "d_grad_norm"))
+    stats.update(_group_norm_stats(ts.params_D, "d_weight_norm"))
 
     opt = make_adam(tuple(meta["betas"]))
     params_D, opt_D = adam_step(
@@ -262,9 +315,9 @@ def g_train_step(
         k_seg, phase["rotate"], data["rasterized_segments"],
         data["body_segments"].astype(jnp.int32))
 
-    def loss_fn(params_G, data, z, gt_segments):
+    def loss_fn(params_G, data, z, gt_segments, sG_in, sD_in, k_g):
         gen_out, sG = generator_forward(
-            params_G, ts.state_G, z, data, k_g, meta,
+            params_G, sG_in, z, data, k_g, meta,
             latent_indices=None if phase["uncond"] else data["indices"],
             train=True, axis_name=axis_name, compute_dtype=cdt, nerf_noise=nerf_noise,
             disable_synthesis=(phase["gen_modal"] != "rgbs"),
@@ -273,12 +326,14 @@ def g_train_step(
         fake_aug = _maybe_augment(fake_images, k_aug, meta, ada_p)
 
         out, sD = discriminator_forward(
-            ts.params_D, ts.state_D, fake_aug, data, train=True, compute_dtype=cdt)
+            ts.params_D, sD_in, fake_aug, data, train=True, compute_dtype=cdt)
         pred_gen = out["prediction"]
 
         stats = {}
         if gan_lambda > 0:
-            gan = gan_lambda * L.gan_loss_g(pred_gen)
+            # top-k prediction filtering decays the kept fraction with step
+            # (ref :482-494; no-op unless topk_interval/topk_v configured)
+            gan = gan_lambda * L.gan_loss_g_topk(pred_gen, ts.step, meta)
             stats["gen_signs"] = moments(jnp.sign(pred_gen))
         else:
             gan = 0.0 * jnp.sum(pred_gen)
@@ -297,11 +352,30 @@ def g_train_step(
             if phase["uncond"]:
                 gt_lat = normalize_2nd_moment(z)
             else:
-                gt_lat = normalize_2nd_moment(params_G["latent_pool"][data["indices"]])
-            lat = latent_lambda * L.smooth_l1(normalize_2nd_moment(out["latents"]), gt_lat)
+                gt_lat = jax.lax.stop_gradient(
+                    normalize_2nd_moment(params_G["latent_pool"][data["indices"]]))
+            lat = L.smooth_l1(normalize_2nd_moment(out["latents"]), gt_lat)
+            if not phase["uncond"]:
+                # ref :506-507: an extra z-vs-inversion-latent term (constant
+                # w.r.t. params — kept for loss-value parity)
+                lat = lat + L.smooth_l1(z, jax.lax.stop_gradient(data["latents"]))
+            lat = latent_lambda * lat
             stats["g_latent_loss"] = moments(lat)
         else:
             lat = 0.0 * jnp.sum(out["latents"]) if "latents" in out else 0.0
+
+        if not phase["uncond"] and sum(meta.get("perceptual_lambda", [0])) > 0:
+            # VGG16 feature distances on [0,1] images (ref :515-523)
+            from threedhumangan_tpu.trainers.perceptual import perceptual_loss
+
+            convs = _vgg_convs()
+            pls = perceptual_loss(
+                convs, 0.5 * gen_out[phase["gen_modal"]] + 0.5,
+                0.5 * data["images"] + 0.5)
+            perc = sum(lam * pl for lam, pl in zip(meta["perceptual_lambda"], pls))
+            stats["perceptual_loss"] = moments(perc)
+        else:
+            perc = 0.0
 
         if not phase["uncond"] and meta.get("photometric_lambda", 0) > 0:
             # photometric loss compares the raw generated modal, not the
@@ -312,28 +386,45 @@ def g_train_step(
         else:
             photo = 0.0
 
-        loss = gan + seg + lat + photo
+        loss = gan + seg + lat + perc + photo
         stats["g_loss"] = moments(loss)
         return loss, (sG, sD, stats)
 
     # batch_split micro-batching (ref :456-548: per-split forward+backward
     # with grads accumulated; losses are divided by the split count so the
-    # accumulated gradient equals the full-batch gradient)
+    # accumulated gradient equals the full-batch gradient).  lax.scan keeps
+    # compile size and peak memory constant in n_split.
     n_split = int(meta.get("batch_split", 1))
     vag = jax.value_and_grad(loss_fn, has_aux=True)
     if n_split <= 1:
-        (g_loss, (state_G, state_D, stats)), grads = vag(ts.params_G, data, z, gt_segments)
+        (g_loss, (state_G, state_D, stats)), grads = vag(
+            ts.params_G, data, z, gt_segments, ts.state_G, ts.state_D, k_g)
     else:
-        grads = None
-        for i in range(n_split):
-            sl = lambda x: x[i * (x.shape[0] // n_split):(i + 1) * (x.shape[0] // n_split)]
-            chunk = jax.tree.map(sl, data)
-            (g_loss, (state_G, state_D, stats)), g = vag(
-                ts.params_G, chunk, sl(z), sl(gt_segments))
-            g = jax.tree.map(lambda x: x / n_split, g)
-            grads = g if grads is None else jax.tree.map(jnp.add, grads, g)
+        B_split = data["images"].shape[0] // n_split
+        chunk = lambda x: x.reshape((n_split, B_split) + x.shape[1:])
+
+        def body(carry, xs):
+            grads, sG, sD = carry
+            data_c, z_c, gt_c, i = xs
+            (l, (sG, sD, stats)), g = vag(
+                ts.params_G, data_c, z_c, gt_c, sG, sD,
+                jax.random.fold_in(k_g, i))
+            grads = jax.tree.map(lambda a, b: a + b / n_split, grads, g)
+            return (grads, sG, sD), (l / n_split, stats)
+
+        zero_grads = jax.tree.map(jnp.zeros_like, ts.params_G)
+        (grads, state_G, state_D), (losses, stats_stack) = jax.lax.scan(
+            body, (zero_grads, ts.state_G, ts.state_D),
+            (jax.tree.map(chunk, data), chunk(z), chunk(gt_segments),
+             jnp.arange(n_split)))
+        g_loss = jnp.sum(losses)
+        # stats are (count, sum, sumsq) moment triples: summing over the
+        # split axis is the exact aggregation
+        stats = jax.tree.map(lambda s: jnp.sum(s, axis=0), stats_stack)
     if axis_name is not None:
         grads = jax.lax.pmean(grads, axis_name)
+    stats.update(_group_norm_stats(grads, "g_grad_norm"))
+    stats.update(_group_norm_stats(ts.params_G, "g_weight_norm"))
 
     opt = make_adam(tuple(meta["betas"]))
     params_G, opt_G = adam_step(
@@ -389,6 +480,61 @@ def register_meta(meta: Dict) -> int:
     if key not in _META_CACHE:
         _META_CACHE[key] = meta
     return key
+
+
+def make_mesh_train_pair(mesh, preprocessor, meta: Dict, axis_name: str = "data"):
+    """SPMD training-step factory — the TPU-native equivalent of the
+    reference's DDP wrap (ref base_trainer.py:102-104, apps/train.py:57).
+
+    Returns ``step(ts, batch, rng, phase, lr_g, lr_d, nerf_noise, ada_p)``
+    running D then G in ONE jitted shard_map program: the global batch is
+    sharded over the mesh's data axis, params/opt state replicated, grads
+    pmean'd and BN moments pmean'd over ICI, stats psum'd; per-replica RNG
+    via fold_in(axis_index) (= reference per-rank seeding,
+    apps/train.py:70-72).  TrainState buffers are donated so parameters
+    update in place (no 2x HBM residency).
+
+    At most 4 phase-flag variants compile per stage (``meta`` is closed
+    over; the Trainer rebuilds this factory on curriculum stage changes).
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    cache: Dict[tuple, callable] = {}
+
+    def _build(phase_key):
+        rotate, do_r1, uncond, gen_modal = phase_key
+        phase = {"rotate": rotate, "do_r1": do_r1, "uncond": uncond,
+                 "gen_modal": gen_modal}
+
+        def full(ts, data, rng, lr_d, lr_g, noise, ada):
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
+            k_d, k_g = jax.random.split(rng)
+            ts, d_stats = d_train_step(
+                ts, data, k_d, lr_d, noise, preprocessor, meta, phase,
+                axis_name=axis_name, ada_p=ada)
+            ts, g_stats = g_train_step(
+                ts, data, k_g, lr_g, noise, preprocessor, meta, phase,
+                axis_name=axis_name, ada_p=ada)
+            return ts, {**d_stats, **g_stats}
+
+        sharded = shard_map(
+            full, mesh=mesh,
+            in_specs=(P(), P(axis_name), P(), P(), P(), P(), P()),
+            out_specs=(P(), P()),
+            check_rep=False)
+        return jax.jit(sharded, donate_argnums=(0,))
+
+    def step(ts, batch, rng, phase, lr_g, lr_d, nerf_noise, ada_p=0.0):
+        key = (phase["rotate"], phase["do_r1"], phase["uncond"], phase["gen_modal"])
+        if key not in cache:
+            cache[key] = _build(key)
+        return cache[key](
+            ts, batch, rng,
+            jnp.asarray(lr_d, jnp.float32), jnp.asarray(lr_g, jnp.float32),
+            jnp.asarray(nerf_noise, jnp.float32), jnp.asarray(ada_p, jnp.float32))
+
+    return step
 
 
 def train_step_pair(ts, data, rng, meta, preprocessor, phase, lr_g, lr_d,
