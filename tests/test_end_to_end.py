@@ -1,6 +1,9 @@
 """End-to-end tests: synthetic dataset -> preprocessor -> generator ->
-discriminator -> train steps.  Exercises the full MAP3DBN_TINY pipeline
-(SURVEY.md §7 'minimum end-to-end slice' + trainer)."""
+discriminator -> train steps.  Exercises the full MAP3DBN_NANO pipeline
+(SURVEY.md §7 'minimum end-to-end slice' + trainer) — NANO rather than
+TINY because each train_step variant here costs a full D+G XLA compile
+and the assertions are shape-agnostic; TINY-scale compilation is covered
+by the verify CLI recipe."""
 
 import jax
 import jax.numpy as jnp
@@ -24,7 +27,7 @@ from threedhumangan_tpu.trainers.phase_trainer import (
 
 @pytest.fixture(scope="module")
 def tiny():
-    meta = configs.extract_metadata(configs.MAP3DBN_TINY, 0)
+    meta = configs.extract_metadata(configs.MAP3DBN_NANO, 0)
     smpl = synthetic_smpl_model(num_verts=96, num_faces=64)
     ds = SyntheticSHHQDataset(smpl_model=smpl, **meta)
     pre = get_preprocessor(meta, smpl_model=smpl)

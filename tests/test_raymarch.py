@@ -158,3 +158,67 @@ def test_fused_kernel_noise_column_matches_xla(rng):
         white_back=True, compute_dtype=jnp.float32, interpret=True, exact_sin=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(np.asarray(depth), np.asarray(ref_depth), rtol=2e-4, atol=2e-5)
+
+
+def test_geo_fused_kernel_matches_xla_geo_path(rng):
+    """fused_field_render_geo (in-kernel 1-NN + geo features,
+    ops/raymarch._geo_slab) vs the XLA get_geo_features + field +
+    integration chain, on realistic synthetic SMPL geometry."""
+    from threedhumangan_tpu.models.smpl import get_geo_features, synthetic_smpl_model
+    from threedhumangan_tpu.ops.raymarch import fused_field_render_geo
+
+    B, R, S = 1, 8, 4
+    H, G, F, NB = 16, 31, 8, 4
+    P = R * S
+    scale = 2.0 / 2.85
+
+    smpl = synthetic_smpl_model(seed=3, num_verts=96, num_faces=64)
+    J = smpl.num_joints
+    ks = jax.random.split(rng, 8)
+    verts = jnp.asarray(
+        0.5 * np.random.RandomState(0).randn(B, 96, 3).astype(np.float32))
+    tpose = jnp.asarray(
+        0.5 * np.random.RandomState(1).randn(B, 96, 3).astype(np.float32))
+    skel = jnp.asarray(
+        0.5 * np.random.RandomState(2).randn(B, J, 3).astype(np.float32))
+    # random valid FK matrices: rotation + translation
+    rs = np.random.RandomState(4)
+    fk = np.tile(np.eye(4, dtype=np.float32), (B, J, 1, 1))
+    for j in range(J):
+        A = rs.randn(3, 3).astype(np.float32)
+        Q, _ = np.linalg.qr(A)
+        fk[0, j, :3, :3] = Q
+        fk[0, j, :3, 3] = 0.3 * rs.randn(3)
+    fk = jnp.asarray(fk)
+    lbs = jax.nn.softmax(jnp.asarray(rs.randn(B, 96, J).astype(np.float32)), -1)
+
+    params = init_coordconcat_siren(rng, 3, H, G, F, NB)
+    points = 0.5 * jax.random.normal(ks[0], (B, P, 3))
+    dirs = jax.random.normal(ks[1], (B, P, 3))
+    freq = 0.1 * jax.random.normal(ks[2], (B, NB * H))
+    phase = 0.1 * jax.random.normal(ks[3], (B, NB * H))
+    z_vals = jnp.sort(jax.random.uniform(ks[4], (B, R, S)) + 1.0, axis=-1)
+
+    # XLA reference: geo features then field then integration
+    geo = get_geo_features(points, skel, verts, tpose, fk, lbs)
+    field = apply_coordconcat_siren(
+        params, points, freq, phase, geo, dirs, input_scaler=scale)
+    field = field.reshape(B, R, S, F + 4)
+    ref_out, ref_depth, _ = vr.ray_integration(
+        field, z_vals[..., None], noise_std=0.0, white_back=True,
+        clamp_mode="relu")
+
+    # fused kernel
+    ik = jnp.linalg.inv(fk)
+    vertex_ik = jnp.einsum("bvj,bjkl->bvkl", lbs, ik).reshape(B, 96, 16)
+    vfeat = jnp.concatenate([vertex_ik, tpose], axis=-1)
+    packed = jnp.concatenate([points, dirs], axis=-1)
+    out, depth = fused_field_render_geo(
+        params, packed, freq, phase, z_vals, verts, vfeat, skel,
+        num_steps=S, input_scaler=scale, tile_rays=4, white_back=True,
+        compute_dtype=jnp.float32, interpret=True, exact_sin=True)
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               rtol=5e-4, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(depth), np.asarray(ref_depth),
+                               rtol=5e-4, atol=5e-5)

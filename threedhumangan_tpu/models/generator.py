@@ -159,16 +159,6 @@ def render(
     if meta.get("lock_view_dependence", False):
         ray_dirs_exp = jnp.zeros_like(ray_dirs_exp).at[..., -1].set(-1.0)
 
-    # --- geo features (ref get_geo_features wrapper :196-205) ---
-    if meta.get("disable_modulation", False):
-        modulation = jnp.zeros((B, n_points, meta["geo_feature_dim"]), points.dtype)
-    else:
-        modulation = jax.lax.stop_gradient(
-            get_geo_features(points, skeletons, vertices, tpose_vertices,
-                             fk_matrices, lbs_weights,
-                             legacy_mode=meta.get("legacy_mode", False),
-                             use_pallas_knn=meta.get("pallas_knn", False)))
-
     feature_dim = meta["feature_dim"]
     noise_std = meta.get("nerf_noise", 0.5) if nerf_noise is None else nerf_noise
 
@@ -178,22 +168,44 @@ def render(
         and not meta.get("hierarchical_sample", False)
         and meta["clamp_mode"] == "relu"
     )
+    # Geo fusion is OFF by default: measured 32.7 vs 34.9 imgs/sec/chip on
+    # v5e — the in-kernel one-hot gather matmuls are too narrow for the MXU
+    # once tile_rays drops to 32 to fit the (TILE_R, V) distance tiles in
+    # VMEM.  Kept flag-gated for configs with small vertex counts.
+    fuse_geo = (
+        use_pallas
+        and meta.get("pallas_fuse_geo", False)
+        and not meta.get("disable_modulation", False)
+    )
+
+    # --- geo features (ref get_geo_features wrapper :196-205); skipped when
+    # the fused kernel computes them in-VMEM (ops/raymarch._geo_slab) ---
+    if fuse_geo:
+        modulation = None
+    elif meta.get("disable_modulation", False):
+        modulation = jnp.zeros((B, n_points, meta["geo_feature_dim"]), points.dtype)
+    else:
+        modulation = jax.lax.stop_gradient(
+            get_geo_features(points, skeletons, vertices, tpose_vertices,
+                             fk_matrices, lbs_weights,
+                             legacy_mode=meta.get("legacy_mode", False),
+                             use_pallas_knn=meta.get("pallas_knn", False)))
+
     if use_pallas:
         # fused Pallas ray-march: field + integration in VMEM per ray tile
         # (forward-only: inference and the D-step fake generation — the
         # G-step grad path sets pallas_ok=False and keeps the XLA path).
         # Training-time nerf_noise rides as an extra packed column.
-        from threedhumangan_tpu.ops.raymarch import fused_field_render, pack_field_inputs
+        from threedhumangan_tpu.ops.raymarch import (
+            fused_field_render,
+            fused_field_render_geo,
+            pack_field_inputs,
+        )
 
         noise_col = None
         if not _is_zero(noise_std):
             noise_col = noise_std * jax.random.normal(k_noise, (B, n_points, 1))
-        packed = pack_field_inputs(
-            points, modulation, ray_dirs_exp, 2.0 / meta["side_length"],
-            noise=noise_col)
-        render_out, depths = fused_field_render(
-            params["neural_field"], packed, freq, phase,
-            z_vals.reshape(B, render_w * render_h, num_steps),
+        common = dict(
             num_steps=num_steps,
             tile_rays=meta.get("pallas_tile_rays", 64),
             white_back=meta.get("white_back", False),
@@ -201,6 +213,37 @@ def render(
             compute_dtype=compute_dtype,
             exact_sin=not meta.get("fast_math", True),
         )
+        z_flat = z_vals.reshape(B, render_w * render_h, num_steps)
+        if fuse_geo:
+            # smaller ray tile: the in-kernel (TILE_R, V) distance/one-hot
+            # tiles must fit VMEM next to the resident SIREN weights
+            # (16 MB/core; 64 rays at width 420 overflows by ~0.5 MB)
+            common["tile_rays"] = meta.get(
+                "pallas_geo_tile_rays", min(common["tile_rays"], 32))
+            # per-vertex [blended inverse-FK (16); tpose (3)] table — the
+            # only XLA-side geo prep; KNN + gather + canonicalization all
+            # happen inside the kernel
+            ik = jnp.linalg.inv(fk_matrices.astype(jnp.float32))
+            vertex_ik = jnp.einsum(
+                "bvj,bjkl->bvkl", lbs_weights.astype(jnp.float32), ik)
+            V = vertices.shape[1]
+            vfeat = jnp.concatenate(
+                [vertex_ik.reshape(B, V, 16),
+                 tpose_vertices.astype(jnp.float32)], axis=-1)
+            cols = [points, ray_dirs_exp] + ([noise_col] if noise_col is not None else [])
+            packed = jnp.concatenate(cols, axis=-1)
+            render_out, depths = fused_field_render_geo(
+                params["neural_field"], packed, freq, phase, z_flat,
+                vertices.astype(jnp.float32), vfeat, skeletons,
+                input_scaler=2.0 / meta["side_length"],
+                legacy_mode=meta.get("legacy_mode", False),
+                **common)
+        else:
+            packed = pack_field_inputs(
+                points, modulation, ray_dirs_exp, 2.0 / meta["side_length"],
+                noise=noise_col)
+            render_out, depths = fused_field_render(
+                params["neural_field"], packed, freq, phase, z_flat, **common)
         weights = None
     else:
         # --- field evaluation (hot path, XLA formulation) ---

@@ -82,10 +82,10 @@ def pack_field_inputs(points, geo, dirs, input_scaler: float, noise=None):
     return jnp.concatenate(cols, axis=-1)
 
 
-def _field_slab(weights, slab, freq, phase, hidden_dim, geo_dim, compute_dtype,
-                exact_sin=False, with_noise=False):
-    """SIREN on one (TILE_R, 37[+1]) step-slab -> (field (TILE_R, F+3),
-    sigma (TILE_R, 1) with any noise column already added)."""
+def _field_slab_parts(weights, pts, geo, dirs, noise, freq, phase,
+                      compute_dtype, exact_sin=False):
+    """SIREN on one step-slab given as separate (TILE_R, ·) components ->
+    (field (TILE_R, F+3), sigma (TILE_R, 1) with any noise already added)."""
     f32 = jnp.float32
     _sin = jnp.sin if exact_sin else fast_sin
 
@@ -93,10 +93,6 @@ def _field_slab(weights, slab, freq, phase, hidden_dim, geo_dim, compute_dtype,
         return jax.lax.dot_general(
             x.astype(compute_dtype), w.astype(compute_dtype),
             (((1,), (0,)), ((), ())), preferred_element_type=f32)
-
-    pts = slab[:, :3]
-    geo = slab[:, 3 : 3 + geo_dim]
-    dirs = slab[:, 3 + geo_dim : 3 + geo_dim + 3]
 
     x1 = _sin(30.0 * (mm(pts, weights["w_coord"]) + weights["b_coord"]))
     x2 = _sin(30.0 * (mm(geo, weights["w_geo"]) + weights["b_geo"]))
@@ -117,12 +113,23 @@ def _field_slab(weights, slab, freq, phase, hidden_dim, geo_dim, compute_dtype,
     p = phase[n_blocks - 1 : n_blocks, :]  # slice (reference quirk)
     xc = _sin(f * (mm(xc, weights["w_color"]) + weights["b_color"]) + p)
 
-    if with_noise:
-        sigma = sigma + slab[:, 3 + geo_dim + 3 : 3 + geo_dim + 4].astype(jnp.float32)
+    if noise is not None:
+        sigma = sigma + noise.astype(jnp.float32)
 
     rgb = jax.nn.sigmoid(mm(xc, weights["w_rgb"]) + weights["b_rgb"])
     feat = mm(xc, weights["w_feat"]) + weights["b_feat"]
     return jnp.concatenate([rgb, feat], axis=-1), sigma
+
+
+def _field_slab(weights, slab, freq, phase, hidden_dim, geo_dim, compute_dtype,
+                exact_sin=False, with_noise=False):
+    """SIREN on one (TILE_R, 37[+1]) packed step-slab."""
+    pts = slab[:, :3]
+    geo = slab[:, 3 : 3 + geo_dim]
+    dirs = slab[:, 3 + geo_dim : 3 + geo_dim + 3]
+    noise = slab[:, 3 + geo_dim + 3 : 3 + geo_dim + 4] if with_noise else None
+    return _field_slab_parts(weights, pts, geo, dirs, noise, freq, phase,
+                             compute_dtype, exact_sin)
 
 
 def _raymarch_kernel(
@@ -141,17 +148,27 @@ def _raymarch_kernel(
     freq = freq_ref[0]      # (num_blocks, hidden)
     phase = phase_ref[0]
 
+    def eval_step(s):
+        return _field_slab(
+            weights, pk[s], freq, phase, hidden_dim, geo_dim, compute_dtype,
+            exact_sin, with_noise)
+
+    out, depth = _march(eval_step, z, tile_rays, num_steps, white_back, last_back)
+    out_ref[0] = out
+    depth_ref[0] = depth
+
+
+def _march(eval_step, z, tile_rays, num_steps, white_back, last_back):
+    """Streaming front-to-back composite over the step axis (static unroll;
+    ref volume_rendering.py ray_integration :12-56 without cumprod)."""
     S = num_steps
     T = jnp.ones((tile_rays, 1), jnp.float32)
     w_sum = jnp.zeros((tile_rays, 1), jnp.float32)
     out_acc = None
     depth_acc = jnp.zeros((tile_rays, 1), jnp.float32)
 
-    # streaming march over S-1 steps (static unroll; all slices static)
     for s in range(S - 1):
-        field_s, sigma_s = _field_slab(
-            weights, pk[s], freq, phase, hidden_dim, geo_dim, compute_dtype,
-            exact_sin, with_noise)
+        field_s, sigma_s = eval_step(s)
         z_s = z[:, s : s + 1]
         delta = z[:, s + 1 : s + 2] - z_s
         alpha = 1.0 - jnp.exp(-delta * jnp.maximum(sigma_s, 0.0))
@@ -164,9 +181,7 @@ def _raymarch_kernel(
 
     # final step: delta = 1e9 (ref volume_rendering.py:21-22), residual
     # transmittance folded into the last weight
-    field_l, sigma_l = _field_slab(
-        weights, pk[S - 1], freq, phase, hidden_dim, geo_dim, compute_dtype,
-        exact_sin, with_noise)
+    field_l, sigma_l = eval_step(S - 1)
     z_l = z[:, S - 1 : S]
     alpha_l = 1.0 - jnp.exp(-1e9 * jnp.maximum(sigma_l, 0.0))
     w_l = alpha_l * T
@@ -183,8 +198,7 @@ def _raymarch_kernel(
         # ref :48-49 — uses the pre-correction weight sum in both modes
         out = out + residual
 
-    out_ref[0] = out
-    depth_ref[0] = depth
+    return out, depth
 
 
 def _flatten_field_params(params: Dict) -> Dict[str, jax.Array]:
@@ -299,4 +313,219 @@ def fused_field_render(
         ),
         interpret=interpret,
     )(packed_sm, freq, phase, z_vals, *[weights[n] for n in names])
+    return out, depth
+
+
+# ---------------------------------------------------------------------------
+# geo-fused variant: 1-NN + 31-d geo features computed IN the march kernel
+# ---------------------------------------------------------------------------
+
+GEO_PACK = 6  # 3 raw coords + 3 ray dirs (+1 optional sigma noise)
+
+
+def _geo_slab(pts_raw, verts_t, vsq, vfeat_t, skel_t, ssq, legacy_mode):
+    """31-d geo features for one (TILE_R, 3) slab of RAW world points,
+    entirely in VMEM (models/smpl.get_geo_features semantics, ref
+    smpl.py:210-249).
+
+    The XLA path pays a separate 1-NN launch plus an XLA gather of the
+    per-vertex [ik(16); tpose(3)] features — the gather alone dominates
+    (TPU gathers are scalar-unit bound).  Here the (TILE_R, Vp) distance
+    tile never leaves VMEM and the gather is ONE one-hot MXU matmul.
+
+    verts_t (3, Vp), vsq (1, Vp), vfeat_t (19, Vp), skel_t (3, J),
+    ssq (1, J).  Padded vertices sit at 1e6 so they never win the 1-NN.
+    """
+    f32 = jnp.float32
+    p_sq = jnp.sum(jnp.square(pts_raw), axis=1, keepdims=True)  # (T, 1)
+
+    # joint distances (ref smpl.py:216)
+    crossj = jax.lax.dot_general(pts_raw, skel_t, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=f32)      # (T, J)
+    jd = jnp.sqrt(jnp.maximum(p_sq - 2.0 * crossj + ssq, 0.0) + 1e-12) / 2.4
+
+    # 1-NN over all vertices in one (T, Vp) VMEM tile
+    cross = jax.lax.dot_general(pts_raw, verts_t, (((1,), (0,)), ((), ())),
+                                preferred_element_type=f32)       # (T, Vp)
+    d = p_sq - 2.0 * cross + vsq
+    dmin = jnp.min(d, axis=1, keepdims=True)
+    lane = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1).astype(f32)
+    arg = jnp.min(jnp.where(d <= dmin, lane, 3.4e38), axis=1, keepdims=True)
+    onehot = (lane == arg).astype(f32)                            # (T, Vp)
+
+    # winning vertex's [ik(16); tpose(3)] as ONE MXU matmul (f32: the ik
+    # entries feed omega=30 SIREN inputs, bf16 would cost ~1e-2 there)
+    gathered = jax.lax.dot_general(onehot, vfeat_t, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=f32)    # (T, 19)
+
+    x = pts_raw[:, 0:1]
+    y = pts_raw[:, 1:2]
+    z1 = pts_raw[:, 2:3]
+    g = lambda i: gathered[:, i : i + 1]
+    # inverse-FK canonicalization: rows of the blended 4x4 (ref :219-230)
+    cano0 = (g(0) * x + g(1) * y + g(2) * z1 + g(3)) / 2.0
+    cano1 = (g(4) * x + g(5) * y + g(6) * z1 + g(7) + 0.2) / 2.0
+    cano2 = (g(8) * x + g(9) * y + g(10) * z1 + g(11)) / 1.3
+    tp2 = g(18) / 0.2
+    ndist = jnp.sqrt(jnp.maximum(dmin, 0.0)) / 1.3
+
+    cano = jnp.concatenate([cano0, cano1, cano2], axis=-1)
+    tp = jnp.concatenate([g(16), g(17), tp2], axis=-1)
+    if legacy_mode:
+        return jnp.concatenate([jd, cano, tp, ndist], axis=-1)
+    return jnp.concatenate([cano, jd, tp, ndist], axis=-1)
+
+
+def _raymarch_geo_kernel(
+    packed_ref, freq_ref, phase_ref, z_ref,
+    verts_ref, vsq_ref, vfeat_ref, skel_ref, ssq_ref,
+    *rest_refs,
+    weight_names, tile_rays, num_steps, white_back, last_back,
+    compute_dtype, exact_sin, with_noise, input_scaler, legacy_mode,
+):
+    weight_refs = rest_refs[: len(weight_names)]
+    out_ref, depth_ref = rest_refs[len(weight_names) :]
+    weights = {name: ref[:] for name, ref in zip(weight_names, weight_refs)}
+
+    pk = packed_ref[0]       # (S, TILE_R, 6[+1]) step-major raw slabs
+    z = z_ref[0]             # (TILE_R, S)
+    freq = freq_ref[0]
+    phase = phase_ref[0]
+    verts_t = verts_ref[0]   # (3, Vp)
+    vsq = vsq_ref[0]         # (1, Vp)
+    vfeat_t = vfeat_ref[0]   # (19, Vp)
+    skel_t = skel_ref[0]     # (3, J)
+    ssq = ssq_ref[0]         # (1, J)
+
+    def eval_step(s):
+        slab = pk[s]
+        pts_raw = slab[:, :3]
+        dirs = slab[:, 3:6]
+        noise = slab[:, 6:7] if with_noise else None
+        geo = _geo_slab(pts_raw, verts_t, vsq, vfeat_t, skel_t, ssq, legacy_mode)
+        return _field_slab_parts(
+            weights, pts_raw * input_scaler, geo, dirs, noise, freq, phase,
+            compute_dtype, exact_sin)
+
+    out, depth = _march(eval_step, z, tile_rays, num_steps, white_back, last_back)
+    out_ref[0] = out
+    depth_ref[0] = depth
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_steps", "tile_rays", "white_back", "last_back",
+                     "compute_dtype", "interpret", "exact_sin", "input_scaler",
+                     "legacy_mode"),
+)
+def fused_field_render_geo(
+    field_params: Dict,
+    packed_inputs: jax.Array,  # (B, R*S, 6[+1]): RAW coords + dirs (+noise)
+    freq: jax.Array,
+    phase: jax.Array,
+    z_vals: jax.Array,         # (B, R, S)
+    verts: jax.Array,          # (B, V, 3) posed vertices
+    vfeat: jax.Array,          # (B, V, 19) [blended inverse-FK 16; tpose 3]
+    skeletons: jax.Array,      # (B, J, 3)
+    num_steps: int,
+    input_scaler: float,
+    tile_rays: int = 64,
+    white_back: bool = False,
+    last_back: bool = False,
+    compute_dtype=jnp.bfloat16,
+    interpret: bool = False,
+    exact_sin: bool = False,
+    legacy_mode: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """fused_field_render + in-kernel geo features (drops the separate
+    KNN/gather stage entirely).  Returns (rendered (B, R, F+3), depth)."""
+    B, P, n_cols = packed_inputs.shape
+    with_noise = n_cols == GEO_PACK + 1
+    R = P // num_steps
+    assert R % tile_rays == 0, (R, tile_rays)
+    n_tiles = R // tile_rays
+
+    weights = _flatten_field_params(field_params)
+    names = tuple(sorted(weights))
+    hidden_dim = weights["w_coord"].shape[1]
+    feature_dim = weights["w_feat"].shape[1]
+    weights = {
+        n: (w.astype(compute_dtype) if n.startswith("w_") else w.astype(jnp.float32))
+        for n, w in weights.items()
+    }
+
+    # vertex tables, padded so fake vertices never win the 1-NN
+    V = verts.shape[1]
+    pad_v = (-V) % 128
+    verts_p = jnp.pad(verts.astype(jnp.float32), ((0, 0), (0, pad_v), (0, 0)),
+                      constant_values=1e6)
+    Vp = V + pad_v
+    verts_t = jnp.swapaxes(verts_p, 1, 2)                    # (B, 3, Vp)
+    vsq = jnp.sum(jnp.square(verts_p), axis=-1)[:, None, :]  # (B, 1, Vp)
+    vfeat_t = jnp.swapaxes(
+        jnp.pad(vfeat.astype(jnp.float32), ((0, 0), (0, pad_v), (0, 0))), 1, 2)
+    J = skeletons.shape[1]
+    skel_t = jnp.swapaxes(skeletons.astype(jnp.float32), 1, 2)  # (B, 3, J)
+    ssq = jnp.sum(jnp.square(skeletons.astype(jnp.float32)), axis=-1)[:, None, :]
+
+    packed_sm = packed_inputs.reshape(B, R, num_steps, n_cols).transpose(0, 2, 1, 3)
+
+    n_blocks = len(field_params["network"])
+    freq = (freq * 15.0 + 30.0).reshape(B, n_blocks, hidden_dim)
+    phase = phase.reshape(B, n_blocks, hidden_dim)
+
+    kernel = functools.partial(
+        _raymarch_geo_kernel,
+        weight_names=names, tile_rays=tile_rays, num_steps=num_steps,
+        white_back=white_back, last_back=last_back, compute_dtype=compute_dtype,
+        exact_sin=exact_sin, with_noise=with_noise,
+        input_scaler=input_scaler, legacy_mode=legacy_mode)
+
+    grid = (B, n_tiles)
+    in_specs = [
+        pl.BlockSpec((1, num_steps, tile_rays, n_cols), lambda b, t: (b, 0, t, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_blocks, hidden_dim), lambda b, t: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_blocks, hidden_dim), lambda b, t: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile_rays, num_steps), lambda b, t: (b, t, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 3, Vp), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, Vp), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 19, Vp), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 3, J), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, J), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+    ] + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in names]
+
+    out_specs = [
+        pl.BlockSpec((1, tile_rays, feature_dim + 3), lambda b, t: (b, t, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile_rays, 1), lambda b, t: (b, t, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+
+    geo_dim = weights["w_geo"].shape[0] if False else 31
+    flops_per_pt = 2 * hidden_dim * (
+        3 + geo_dim + 2 * hidden_dim + 3 * hidden_dim + hidden_dim + 3
+        + feature_dim + 1) + 2 * Vp * (3 + 19)
+
+    out, depth = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, R, feature_dim + 3), jnp.float32),
+            jax.ShapeDtypeStruct((B, R, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=B * P * flops_per_pt,
+            bytes_accessed=B * P * n_cols * 4 + B * R * (feature_dim + 4) * 4
+            + B * Vp * 23 * 4,
+            transcendentals=B * P * 6 * hidden_dim,
+        ),
+        interpret=interpret,
+    )(packed_sm, freq, phase, z_vals, verts_t, vsq, vfeat_t, skel_t, ssq,
+      *[weights[n] for n in names])
     return out, depth
