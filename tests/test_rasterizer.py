@@ -129,3 +129,31 @@ def test_binned_truncation_cap():
     # the kept candidates are the lowest indices, which here are the CLOSEST
     # (z increases with index) -> center pixel must pick face 0
     assert p[0, 8, 8] == 0
+
+
+def test_pallas_matches_dense():
+    """Pallas tile rasterizer (interpret mode) vs the dense z-buffer
+    oracle — exact agreement like the XLA binned path."""
+    from threedhumangan_tpu.models.smpl import synthetic_smpl_model
+    from threedhumangan_tpu.ops.rasterize import rasterize_mesh_pallas
+
+    model = synthetic_smpl_model(seed=3, num_verts=128, num_faces=256)
+    verts = jnp.asarray(model.v_template)[None] * 1.2
+    z = 1.5 + 0.3 * (verts[..., 2] - verts[..., 2].min())
+    verts_screen = jnp.concatenate([verts[..., :2], z[..., None]], axis=-1)
+    verts_screen = jnp.concatenate([verts_screen, verts_screen * 0.9], axis=0)
+    faces = jnp.asarray(model.faces, jnp.int32)
+
+    H, W = 64, 32
+    p_dense, b_dense, z_dense = rasterize_mesh(verts_screen, faces, (H, W))
+    p_pal, b_pal, z_pal = rasterize_mesh_pallas(
+        verts_screen, faces, (H, W), tile=16, max_faces_per_tile=256,
+        k_chunk=64, interpret=True)
+
+    np.testing.assert_array_equal(np.asarray(p_pal), np.asarray(p_dense))
+    cover = np.asarray(p_dense) >= 0
+    np.testing.assert_allclose(
+        np.asarray(z_pal)[cover], np.asarray(z_dense)[cover], rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(b_pal)[cover], np.asarray(b_dense)[cover], rtol=1e-4,
+        atol=1e-5)

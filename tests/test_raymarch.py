@@ -222,3 +222,83 @@ def test_geo_fused_kernel_matches_xla_geo_path(rng):
                                rtol=5e-4, atol=5e-5)
     np.testing.assert_allclose(np.asarray(depth), np.asarray(ref_depth),
                                rtol=5e-4, atol=5e-5)
+
+
+def test_trainable_render_grads_match_xla_chain(rng):
+    """fused_field_render_trainable: Pallas forward (interpret) + custom-VJP
+    backward through the XLA recompute.  Gradients must match jax.grad of
+    the XLA chain exactly (the bwd IS that chain's vjp); the primal must
+    match the kernel."""
+    from threedhumangan_tpu.ops.raymarch import (
+        _xla_packed_render,
+        fused_field_render_trainable,
+    )
+
+    B, R, S = 2, 8, 4
+    H, G, F, NB = 16, 31, 8, 4
+    P = R * S
+    scale = 2.0 / 2.85
+
+    params = init_coordconcat_siren(rng, 3, H, G, F, NB)
+    k1, k2, k3, k4, k5 = jax.random.split(rng, 5)
+    points = jax.random.normal(k1, (B, P, 3))
+    geo = jax.random.normal(k2, (B, P, G)) * 0.3
+    dirs = jax.random.normal(k3, (B, P, 3))
+    freq = jax.random.normal(k4, (B, NB * H)) * 0.1
+    phase = jax.random.normal(k5, (B, NB * H)) * 0.1
+    z_vals = jnp.sort(jax.random.uniform(k1, (B, R, S)) + 1.0, axis=-1)
+    packed = pack_field_inputs(points, geo, dirs, scale)
+
+    def loss_trainable(p, f, ph):
+        out, depth = fused_field_render_trainable(
+            p, packed, f, ph, z_vals, num_steps=S, tile_rays=4,
+            white_back=True, compute_dtype=jnp.float32, interpret=True,
+            exact_sin=True)
+        return jnp.sum(out * out) + jnp.sum(depth)
+
+    def loss_xla(p, f, ph):
+        out, depth = _xla_packed_render(
+            p, packed, f, ph, z_vals, S, True, False, jnp.float32, True)
+        return jnp.sum(out * out) + jnp.sum(depth)
+
+    g_tr = jax.grad(loss_trainable, argnums=(0, 1, 2))(params, freq, phase)
+    g_x = jax.grad(loss_xla, argnums=(0, 1, 2))(params, freq, phase)
+
+    # primal: kernel output (interpret == XLA math)
+    np.testing.assert_allclose(
+        float(loss_trainable(params, freq, phase)),
+        float(loss_xla(params, freq, phase)), rtol=1e-4)
+    # cotangents: identical chain -> tight tolerance
+    flat_tr = jax.tree_util.tree_leaves(g_tr)
+    flat_x = jax.tree_util.tree_leaves(g_x)
+    assert len(flat_tr) == len(flat_x)
+    for a, b in zip(flat_tr, flat_x):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)
+
+
+def test_march_loop_matches_unrolled(rng):
+    """fori_loop march (march_loop=True, constant-VMEM step axis) must
+    match the unrolled kernel exactly."""
+    B, R, S = 2, 8, 4
+    H, G, F, NB = 16, 31, 8, 4
+    P = R * S
+    scale = 2.0 / 2.85
+
+    params = init_coordconcat_siren(rng, 3, H, G, F, NB)
+    k1, k2, k3, k4, k5 = jax.random.split(rng, 5)
+    points = jax.random.normal(k1, (B, P, 3))
+    geo = jax.random.normal(k2, (B, P, G)) * 0.3
+    dirs = jax.random.normal(k3, (B, P, 3))
+    freq = jax.random.normal(k4, (B, NB * H)) * 0.1
+    phase = jax.random.normal(k5, (B, NB * H)) * 0.1
+    z_vals = jnp.sort(jax.random.uniform(k1, (B, R, S)) + 1.0, axis=-1)
+    packed = pack_field_inputs(points, geo, dirs, scale)
+
+    kw = dict(num_steps=S, tile_rays=4, white_back=True,
+              compute_dtype=jnp.float32, interpret=True, exact_sin=True)
+    out_u, depth_u = fused_field_render(params, packed, freq, phase, z_vals, **kw)
+    out_l, depth_l = fused_field_render(params, packed, freq, phase, z_vals,
+                                        march_loop=True, **kw)
+    np.testing.assert_allclose(np.asarray(out_l), np.asarray(out_u), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(depth_l), np.asarray(depth_u), rtol=1e-6)

@@ -179,3 +179,38 @@ def test_fid_between_images():
     diff = fid_between(a, b)
     assert same < 1e-6
     assert diff > same
+
+
+def test_export_vgg16_npz_roundtrip(tmp_path):
+    """export_weights -> init_vgg16_features roundtrip: a synthetic
+    torchvision-layout state_dict converts to the npz our perceptual loss
+    loads, with OIHW->HWIO transposed weights."""
+    import numpy as np
+
+    from threedhumangan_tpu.trainers.perceptual import init_vgg16_features, vgg16_features
+    from threedhumangan_tpu.utils.export_weights import export_vgg16_npz
+
+    rs = np.random.RandomState(0)
+    plan = [(3, 64), (64, 64), (64, 128), (128, 128), (128, 256), (256, 256),
+            (256, 256), (256, 512), (512, 512), (512, 512)]
+    conv_feature_idx = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21]
+    sd = {}
+    for fi, (cin, cout) in zip(conv_feature_idx, plan):
+        sd[f"features.{fi}.weight"] = rs.randn(cout, cin, 3, 3).astype(np.float32)
+        sd[f"features.{fi}.bias"] = rs.randn(cout).astype(np.float32)
+
+    path = str(tmp_path / "vgg16.npz")
+    assert export_vgg16_npz(path, state_dict=sd) == 10
+
+    convs = init_vgg16_features(path)
+    assert len(convs) == 10
+    for conv, (cin, cout) in zip(convs, plan):
+        assert conv["w"].shape == (3, 3, cin, cout)
+        assert conv["b"].shape == (cout,)
+    np.testing.assert_allclose(
+        np.asarray(convs[0]["w"]),
+        sd["features.0.weight"].transpose(2, 3, 1, 0))
+
+    import jax.numpy as jnp
+    taps = vgg16_features(convs, jnp.ones((1, 32, 16, 3)) * 0.5)
+    assert [t.shape[-1] for t in taps] == [64, 128, 256, 512]

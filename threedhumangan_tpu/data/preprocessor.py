@@ -58,6 +58,7 @@ class Preprocessor:
         v_stddev: float = 0.0,
         raster_tile: int = 32,
         raster_faces_per_tile: int = 2048,
+        pallas_raster: bool = False,
         **_unused,
     ):
         self.height = gen_height
@@ -69,6 +70,7 @@ class Preprocessor:
         self.faces_to_labels = jnp.asarray(faces_to_labels, np.int32)
         self.raster_tile = raster_tile
         self.raster_faces_per_tile = raster_faces_per_tile
+        self.pallas_raster = pallas_raster
 
     # -- public API ---------------------------------------------------------
 
@@ -159,10 +161,20 @@ class Preprocessor:
 
         # tile-binned rasterizer: ~F/K-fold less pair work than the dense
         # z-buffer (ops/rasterize.py) — the dense path measured ~300 ms/img
-        # at 512x256 on v5e and dominated the training step
-        pix_to_face, bary, zbuf = rasterize_mesh_binned(
-            verts_screen, jnp.asarray(self.smpl_faces), (self.height, self.width),
-            tile=self.raster_tile, max_faces_per_tile=self.raster_faces_per_tile)
+        # at 512x256 on v5e and dominated the training step.  The Pallas
+        # variant additionally keeps every (K, pixels) z-test tile in VMEM
+        # (the XLA lax.map formulation round-trips them through HBM).
+        if self.pallas_raster:
+            from threedhumangan_tpu.ops.rasterize import rasterize_mesh_pallas
+
+            pix_to_face, bary, zbuf = rasterize_mesh_pallas(
+                verts_screen, jnp.asarray(self.smpl_faces),
+                (self.height, self.width), tile=self.raster_tile,
+                max_faces_per_tile=self.raster_faces_per_tile)
+        else:
+            pix_to_face, bary, zbuf = rasterize_mesh_binned(
+                verts_screen, jnp.asarray(self.smpl_faces), (self.height, self.width),
+                tile=self.raster_tile, max_faces_per_tile=self.raster_faces_per_tile)
 
         bg_mask = pix_to_face < 0
         face_safe = jnp.maximum(pix_to_face, 0)
@@ -228,4 +240,5 @@ def get_preprocessor(meta: Dict, smpl_model: Optional[SMPLModel] = None,
         v_stddev=meta.get("v_stddev", 0.0),
         raster_tile=meta.get("raster_tile", 32),
         raster_faces_per_tile=meta.get("raster_faces_per_tile", 2048),
+        pallas_raster=meta.get("pallas_raster", False),
     )

@@ -162,11 +162,15 @@ def render(
     feature_dim = meta["feature_dim"]
     noise_std = meta.get("nerf_noise", 0.5) if nerf_noise is None else nerf_noise
 
+    # pallas_ok=False marks a grad path (G step).  The kernel still serves
+    # it through fused_field_render_trainable (Pallas forward + XLA-remat
+    # backward custom VJP) unless pallas_field_train is disabled.
+    grad_path = not pallas_ok
     use_pallas = (
         meta.get("pallas_field", False)
-        and pallas_ok
         and not meta.get("hierarchical_sample", False)
         and meta["clamp_mode"] == "relu"
+        and (pallas_ok or meta.get("pallas_field_train", True))
     )
     # Geo fusion is OFF by default: measured 32.7 vs 34.9 imgs/sec/chip on
     # v5e — the in-kernel one-hot gather matmuls are too narrow for the MXU
@@ -174,6 +178,7 @@ def render(
     # VMEM.  Kept flag-gated for configs with small vertex counts.
     fuse_geo = (
         use_pallas
+        and not grad_path
         and meta.get("pallas_fuse_geo", False)
         and not meta.get("disable_modulation", False)
     )
@@ -192,13 +197,15 @@ def render(
                              use_pallas_knn=meta.get("pallas_knn", False)))
 
     if use_pallas:
-        # fused Pallas ray-march: field + integration in VMEM per ray tile
-        # (forward-only: inference and the D-step fake generation — the
-        # G-step grad path sets pallas_ok=False and keeps the XLA path).
-        # Training-time nerf_noise rides as an extra packed column.
+        # fused Pallas ray-march: field + integration in VMEM per ray tile.
+        # Inference and D-step fakes take the plain kernel; the G-step grad
+        # path (pallas_ok=False) takes the custom-VJP wrapper (Pallas fwd +
+        # XLA-remat bwd).  Training-time nerf_noise rides as an extra
+        # packed column.
         from threedhumangan_tpu.ops.raymarch import (
             fused_field_render,
             fused_field_render_geo,
+            fused_field_render_trainable,
             pack_field_inputs,
         )
 
@@ -242,8 +249,14 @@ def render(
             packed = pack_field_inputs(
                 points, modulation, ray_dirs_exp, 2.0 / meta["side_length"],
                 noise=noise_col)
-            render_out, depths = fused_field_render(
-                params["neural_field"], packed, freq, phase, z_flat, **common)
+            if grad_path:
+                render_out, depths = fused_field_render_trainable(
+                    params["neural_field"], packed, freq, phase, z_flat,
+                    **common)
+            else:
+                render_out, depths = fused_field_render(
+                    params["neural_field"], packed, freq, phase, z_flat,
+                    **common)
         weights = None
     else:
         # --- field evaluation (hot path, XLA formulation) ---

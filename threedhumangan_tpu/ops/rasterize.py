@@ -32,6 +32,8 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 _BIG = 1e10
 
@@ -278,6 +280,205 @@ def rasterize_mesh_binned(
     face_id = jnp.where(zbuf_t >= _BIG, -1, face_id).astype(jnp.int32)
 
     # tile-major -> image layout, crop padding
+    def untile(x, ch=None):
+        shape = (B, tiles_y, tiles_x, tile, tile) + ((ch,) if ch else ())
+        x = x.reshape(shape)
+        x = x.transpose(0, 1, 3, 2, 4, 5) if ch else x.transpose(0, 1, 3, 2, 4)
+        x = x.reshape((B, tiles_y * tile, tiles_x * tile) + ((ch,) if ch else ()))
+        return x[:, :H, :W]
+
+    return untile(face_id), untile(bary_t, 3), untile(zbuf_t)
+
+
+# ---------------------------------------------------------------------------
+# Pallas tile rasterizer (binned candidates tested entirely in VMEM)
+# ---------------------------------------------------------------------------
+
+
+def _bin_candidates(verts_screen, faces, image_size, tile, K):
+    """Shared binning prep: per-tile top-K candidate faces by bbox overlap.
+    Returns (tri (B,F,3,3), cand (B,T,K) int32, cand_valid (B,T,K) bool,
+    grid geometry)."""
+    H, W = image_size
+    B = verts_screen.shape[0]
+    F = faces.shape[0]
+    tiles_y = -(-H // tile)
+    tiles_x = -(-W // tile)
+
+    span = W / H
+    x_step = 2 * span / max(W - 1, 1)
+    y_step = 2.0 / max(H - 1, 1)
+    tx0 = -span + jnp.arange(tiles_x) * tile * x_step
+    ty0 = -1.0 + jnp.arange(tiles_y) * tile * y_step
+    tile_x0 = jnp.tile(tx0, tiles_y)
+    tile_y0 = jnp.repeat(ty0, tiles_x)
+    tile_x1 = tile_x0 + (tile - 1) * x_step
+    tile_y1 = tile_y0 + (tile - 1) * y_step
+
+    tri = verts_screen[:, faces.reshape(-1), :].reshape(B, F, 3, 3)
+    fx0 = jnp.min(tri[..., 0], axis=2)
+    fx1 = jnp.max(tri[..., 0], axis=2)
+    fy0 = jnp.min(tri[..., 1], axis=2)
+    fy1 = jnp.max(tri[..., 1], axis=2)
+
+    overlap = (
+        (fx0[:, None, :] <= tile_x1[None, :, None])
+        & (fx1[:, None, :] >= tile_x0[None, :, None])
+        & (fy0[:, None, :] <= tile_y1[None, :, None])
+        & (fy1[:, None, :] >= tile_y0[None, :, None])
+    )
+    scores = jnp.where(overlap, jnp.float32(F) - jnp.arange(F, dtype=jnp.float32), -1.0)
+    top_vals, cand = jax.lax.top_k(scores, K)
+    return tri, cand, top_vals > 0, (tiles_y, tiles_x, x_step, y_step, span)
+
+
+def _rasterize_tile_kernel(tri_ref, out_ref, *, K, k_chunk, tile, tiles_x,
+                           x_step, y_step, span, pixels):
+    """One (batch, tile) program: z-test `K` candidate faces against the
+    tile's `pixels` pixels without leaving VMEM.
+
+    tri_ref block: (1, 1, K, 11) — rows are candidate faces, columns
+    [ax ay az bx by bz cx cy cz valid face_id] (face_id as f32; exactly
+    representable for meshes < 2^24 faces).
+    out_ref block: (1, 1, 8, pixels) — rows [w0 w1 w2 z fid 0 0 0].
+
+    Barycentric coordinates are affine in pixel coordinates, so each
+    chunk computes 2x (Kc,1)*(1,P) broadcast FMAs per coordinate — pure
+    VPU work on data that lives in registers, with a running
+    (z, argface, bary) reduction across chunks (the XLA formulation
+    materializes every (K, P) intermediate in HBM, which measures ~6x
+    slower at MAP3DBN512 shapes).
+    """
+    P = pixels
+    t = pl.program_id(1)
+    f32 = jnp.float32
+
+    # pixel centers of this tile from iota (no pixel-coord input at all)
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    row_i = lane_i // tile
+    col_i = lane_i - row_i * tile
+    tx = t % tiles_x
+    ty = t // tiles_x
+    x0 = -span + (tx * tile).astype(f32) * x_step
+    y0 = -1.0 + (ty * tile).astype(f32) * y_step
+    px = x0 + col_i.astype(f32) * x_step   # (1, P)
+    py = y0 + row_i.astype(f32) * y_step
+
+    best_z = jnp.full((1, P), _BIG, f32)
+    best_f = jnp.full((1, P), -1.0, f32)
+    best_w0 = jnp.zeros((1, P), f32)
+    best_w1 = jnp.zeros((1, P), f32)
+    best_w2 = jnp.zeros((1, P), f32)
+
+    for c in range(K // k_chunk):
+        tri = tri_ref[0, 0, c * k_chunk : (c + 1) * k_chunk, :]  # (Kc, 11)
+        ax, ay, az = tri[:, 0:1], tri[:, 1:2], tri[:, 2:3]
+        bx, by, bz = tri[:, 3:4], tri[:, 4:5], tri[:, 5:6]
+        cx, cy, cz = tri[:, 6:7], tri[:, 7:8], tri[:, 8:9]
+        valid = tri[:, 9:10]
+        fid = tri[:, 10:11]
+
+        v0x, v0y = bx - ax, by - ay
+        v1x, v1y = cx - ax, cy - ay
+        denom = v0x * v1y - v0y * v1x
+        ok = (jnp.abs(denom) > 1e-9) & (valid > 0.0)
+        inv = jnp.where(ok, 1.0 / jnp.where(ok, denom, 1.0), 0.0)
+
+        # w1 = ((px-ax)v1y - (py-ay)v1x)*inv ; w2 = (v0x(py-ay) - v0y(px-ax))*inv
+        c1x, c1y = inv * v1y, -inv * v1x
+        c1c = inv * (ay * v1x - ax * v1y)
+        c2x, c2y = -inv * v0y, inv * v0x
+        c2c = inv * (v0y * ax - v0x * ay)
+
+        w1 = c1x * px + c1y * py + c1c          # (Kc, 1)*(1, P) -> (Kc, P)
+        w2 = c2x * px + c2y * py + c2c
+        w0 = 1.0 - w1 - w2
+        inside = (w0 >= 0.0) & (w1 >= 0.0) & (w2 >= 0.0) & ok
+        z = az + w1 * (bz - az) + w2 * (cz - az)
+        zf = jnp.where(inside, z, _BIG)
+
+        zmin = jnp.min(zf, axis=0, keepdims=True)                 # (1, P)
+        krow = jax.lax.broadcasted_iota(jnp.int32, zf.shape, 0).astype(f32)
+        kbest = jnp.min(jnp.where(zf <= zmin, krow, 3.4e38), axis=0,
+                        keepdims=True)
+        hit = krow == kbest                                       # one-hot (Kc, P)
+        pick = lambda w: jnp.sum(jnp.where(hit, w, 0.0), axis=0, keepdims=True)
+
+        closer = zmin < best_z
+        best_f = jnp.where(closer, pick(fid * jnp.ones_like(zf)), best_f)
+        best_w0 = jnp.where(closer, pick(w0), best_w0)
+        best_w1 = jnp.where(closer, pick(w1), best_w1)
+        best_w2 = jnp.where(closer, pick(w2), best_w2)
+        best_z = jnp.where(closer, zmin, best_z)
+
+    best_f = jnp.where(best_z < _BIG, best_f, -1.0)
+    zeros = jnp.zeros((3, P), f32)
+    out_ref[0, 0] = jnp.concatenate(
+        [best_w0, best_w1, best_w2, best_z, best_f, zeros], axis=0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("image_size", "tile", "max_faces_per_tile",
+                              "k_chunk", "interpret")
+)
+def rasterize_mesh_pallas(
+    verts_screen: jax.Array,
+    faces: jax.Array,
+    image_size: Tuple[int, int],
+    tile: int = 32,
+    max_faces_per_tile: int = 640,
+    k_chunk: int = 128,
+    interpret: bool = False,
+):
+    """Tile-binned rasterization with the per-tile z-test as a Pallas
+    kernel.  Same signature/returns as ``rasterize_mesh`` /
+    ``rasterize_mesh_binned``; binning (bbox overlap + top-K) stays XLA.
+
+    Replaces pytorch3d's CUDA MeshRasterizer on the reference's hot path
+    (lib/data/preprocessor.py:137-176).
+    """
+    H, W = image_size
+    B, V, _ = verts_screen.shape
+    F = faces.shape[0]
+    K = min(max_faces_per_tile, F)
+    K = -(-K // k_chunk) * k_chunk  # whole chunks
+
+    tri, cand, cand_valid, (tiles_y, tiles_x, x_step, y_step, span) = \
+        _bin_candidates(verts_screen, faces, image_size, tile, K)
+    T = tiles_y * tiles_x
+    P = tile * tile
+
+    # candidate face table: (B, T, K, 11) = [9 coords, valid, face_id]
+    tri_cand = jnp.take_along_axis(
+        tri.reshape(B, F, 9)[:, None], cand[..., None], axis=2
+    ).reshape(B, T, K, 9)
+    tri_k = jnp.concatenate(
+        [tri_cand, cand_valid[..., None].astype(jnp.float32),
+         cand[..., None].astype(jnp.float32)], axis=-1)
+
+    kernel = functools.partial(
+        _rasterize_tile_kernel, K=K, k_chunk=k_chunk, tile=tile,
+        tiles_x=tiles_x, x_step=x_step, y_step=y_step, span=span, pixels=P)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, T),
+        in_specs=[pl.BlockSpec((1, 1, K, 11), lambda b, t: (b, t, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 1, 8, P), lambda b, t: (b, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, T, 8, P), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=B * T * K * P * 12,
+            bytes_accessed=B * T * (K * 11 + 8 * P) * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(tri_k)
+
+    bary_t = jnp.moveaxis(out[:, :, 0:3], 2, 3)        # (B, T, P, 3)
+    zbuf_t = out[:, :, 3]                              # (B, T, P)
+    face_id = out[:, :, 4].astype(jnp.int32)
+
     def untile(x, ch=None):
         shape = (B, tiles_y, tiles_x, tile, tile) + ((ch,) if ch else ())
         x = x.reshape(shape)

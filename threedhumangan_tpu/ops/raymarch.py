@@ -137,6 +137,7 @@ def _raymarch_kernel(
     *rest_refs,
     weight_names, hidden_dim, geo_dim, tile_rays, num_steps,
     white_back, last_back, compute_dtype, exact_sin, with_noise,
+    march_loop=False,
 ):
     # pallas passes refs as (inputs..., outputs...): weights then out/depth
     weight_refs = rest_refs[: len(weight_names)]
@@ -149,28 +150,42 @@ def _raymarch_kernel(
     phase = phase_ref[0]
 
     def eval_step(s):
+        slab = (jax.lax.dynamic_index_in_dim(pk, s, 0, keepdims=False)
+                if march_loop else pk[s])
         return _field_slab(
-            weights, pk[s], freq, phase, hidden_dim, geo_dim, compute_dtype,
+            weights, slab, freq, phase, hidden_dim, geo_dim, compute_dtype,
             exact_sin, with_noise)
 
-    out, depth = _march(eval_step, z, tile_rays, num_steps, white_back, last_back)
+    out_width = weights["w_feat"].shape[1] + 3
+    out, depth = _march(eval_step, z, tile_rays, num_steps, white_back,
+                        last_back, out_width=out_width, loop=march_loop)
     out_ref[0] = out
     depth_ref[0] = depth
 
 
-def _march(eval_step, z, tile_rays, num_steps, white_back, last_back):
-    """Streaming front-to-back composite over the step axis (static unroll;
-    ref volume_rendering.py ray_integration :12-56 without cumprod)."""
+def _march(eval_step, z, tile_rays, num_steps, white_back, last_back,
+           out_width=None, loop=False):
+    """Streaming front-to-back composite over the step axis
+    (ref volume_rendering.py ray_integration :12-56 without cumprod).
+
+    ``loop=True`` runs the S-1 leading steps under ``lax.fori_loop`` with
+    the (T, w_sum, out, depth) accumulators as carry instead of a Python
+    unroll: Mosaic does not reuse stack buffers across unrolled
+    iterations, so the unrolled form's VMEM footprint grows with S and
+    caps tile_rays at 64; the loop form fits tile_rays=128.  Requires
+    ``eval_step`` to accept a traced index and ``out_width`` (the field
+    width F+3) to be given.
+    """
     S = num_steps
     T = jnp.ones((tile_rays, 1), jnp.float32)
     w_sum = jnp.zeros((tile_rays, 1), jnp.float32)
-    out_acc = None
     depth_acc = jnp.zeros((tile_rays, 1), jnp.float32)
 
-    for s in range(S - 1):
+    def step_fn(s, T, w_sum, out_acc, depth_acc):
         field_s, sigma_s = eval_step(s)
-        z_s = z[:, s : s + 1]
-        delta = z[:, s + 1 : s + 2] - z_s
+        z_s = jax.lax.dynamic_slice_in_dim(z, s, 1, axis=1) if loop else z[:, s : s + 1]
+        z_n = jax.lax.dynamic_slice_in_dim(z, s + 1, 1, axis=1) if loop else z[:, s + 1 : s + 2]
+        delta = z_n - z_s
         alpha = 1.0 - jnp.exp(-delta * jnp.maximum(sigma_s, 0.0))
         w = alpha * T
         contrib = w * field_s
@@ -178,6 +193,21 @@ def _march(eval_step, z, tile_rays, num_steps, white_back, last_back):
         depth_acc = depth_acc + w * z_s
         w_sum = w_sum + w
         T = T * (1.0 - alpha + 1e-12)
+        return T, w_sum, out_acc, depth_acc
+
+    if loop:
+        assert out_width is not None
+        out_acc = jnp.zeros((tile_rays, out_width), jnp.float32)
+
+        def body(s, carry):
+            return step_fn(s, *carry)
+
+        T, w_sum, out_acc, depth_acc = jax.lax.fori_loop(
+            0, S - 1, body, (T, w_sum, out_acc, depth_acc))
+    else:
+        out_acc = None
+        for s in range(S - 1):
+            T, w_sum, out_acc, depth_acc = step_fn(s, T, w_sum, out_acc, depth_acc)
 
     # final step: delta = 1e9 (ref volume_rendering.py:21-22), residual
     # transmittance folded into the last weight
@@ -220,7 +250,7 @@ def _flatten_field_params(params: Dict) -> Dict[str, jax.Array]:
 @functools.partial(
     jax.jit,
     static_argnames=("num_steps", "tile_rays", "white_back", "last_back",
-                     "compute_dtype", "interpret", "exact_sin"),
+                     "compute_dtype", "interpret", "exact_sin", "march_loop"),
 )
 def fused_field_render(
     field_params: Dict,
@@ -235,8 +265,12 @@ def fused_field_render(
     compute_dtype=jnp.bfloat16,
     interpret: bool = False,
     exact_sin: bool = False,
+    march_loop: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Returns (rendered (B, R, feature_dim+3), depth (B, R, 1))."""
+    """Returns (rendered (B, R, feature_dim+3), depth (B, R, 1)).
+
+    ``march_loop`` runs the step axis as a fori_loop inside the kernel
+    (constant VMEM over steps — allows tile_rays=128; see _march)."""
     B, P, n_cols = packed_inputs.shape
     with_noise = n_cols == INPUT_PACK + 1
     R = P // num_steps
@@ -272,7 +306,7 @@ def fused_field_render(
         weight_names=names, hidden_dim=hidden_dim, geo_dim=geo_dim,
         tile_rays=tile_rays, num_steps=num_steps,
         white_back=white_back, last_back=last_back, compute_dtype=compute_dtype,
-        exact_sin=exact_sin, with_noise=with_noise)
+        exact_sin=exact_sin, with_noise=with_noise, march_loop=march_loop)
 
     grid = (B, n_tiles)
 
@@ -314,6 +348,100 @@ def fused_field_render(
         interpret=interpret,
     )(packed_sm, freq, phase, z_vals, *[weights[n] for n in names])
     return out, depth
+
+
+# ---------------------------------------------------------------------------
+# trainable wrapper: Pallas forward + XLA-recompute backward (custom VJP)
+# ---------------------------------------------------------------------------
+
+
+def _xla_packed_render(field_params, packed_inputs, freq, phase, z_vals,
+                       num_steps, white_back, last_back, compute_dtype,
+                       exact_sin):
+    """Pure-XLA render with *identical math* to the fused kernel, operating
+    on the same packed inputs.  Used as the recompute target of the custom
+    VJP below (and as a CPU fallback): the SIREN is `_field_slab_parts`
+    vectorized over all points, the composite is `_march` vectorized over
+    (B, R) via the standard ray_integration layout."""
+    from threedhumangan_tpu.models import volume_rendering as vr
+
+    B, P, n_cols = packed_inputs.shape
+    with_noise = n_cols == INPUT_PACK + 1
+    R = P // num_steps
+
+    weights = _flatten_field_params(field_params)
+    hidden_dim = weights["w_coord"].shape[1]
+    geo_dim = weights["w_geo"].shape[0]
+    n_blocks = len(field_params["network"])
+
+    freq_r = (freq * 15.0 + 30.0).reshape(B, n_blocks, hidden_dim)
+    phase_r = phase.reshape(B, n_blocks, hidden_dim)
+
+    def per_sample(pk, f, p):
+        pts = pk[:, :3]
+        geo = pk[:, 3 : 3 + geo_dim]
+        dirs = pk[:, 3 + geo_dim : 3 + geo_dim + 3]
+        noise = pk[:, 3 + geo_dim + 3 : 3 + geo_dim + 4] if with_noise else None
+        return _field_slab_parts(weights, pts, geo, dirs, noise, f, p,
+                                 compute_dtype, exact_sin)
+
+    field, sigma = jax.vmap(per_sample)(packed_inputs, freq_r, phase_r)
+    field_out = jnp.concatenate([field, sigma], axis=-1)
+    field_out = field_out.reshape(B, R, num_steps, -1)
+    out, depth, _ = vr.ray_integration(
+        field_out, z_vals.reshape(B, R, num_steps, 1), noise_std=0.0,
+        white_back=white_back, last_back=last_back, clamp_mode="relu")
+    return out, depth
+
+
+@functools.lru_cache(maxsize=None)
+def _make_trainable_render(num_steps, tile_rays, white_back, last_back,
+                           compute_dtype, interpret, exact_sin):
+    """Differentiable fused render: the primal forward is the Pallas kernel
+    (fast — weights resident in VMEM, no HBM activations); the backward
+    rematerializes through `_xla_packed_render` and pulls cotangents back
+    with JAX AD.  Memory equals the remat_field checkpointed XLA path
+    (residuals are just the inputs) while the forward pays kernel speed.
+
+    Replaces the reference's AMP'd torch autograd through the field
+    (ref lib/trainers/phase_trainer.py:460-550 G step)."""
+
+    def xla(field_params, packed, freq, phase, z_vals):
+        return _xla_packed_render(
+            field_params, packed, freq, phase, z_vals, num_steps,
+            white_back, last_back, compute_dtype, exact_sin)
+
+    @jax.custom_vjp
+    def render_fn(field_params, packed, freq, phase, z_vals):
+        return fused_field_render(
+            field_params, packed, freq, phase, z_vals, num_steps=num_steps,
+            tile_rays=tile_rays, white_back=white_back, last_back=last_back,
+            compute_dtype=compute_dtype, interpret=interpret,
+            exact_sin=exact_sin)
+
+    def fwd(field_params, packed, freq, phase, z_vals):
+        return render_fn(field_params, packed, freq, phase, z_vals), (
+            field_params, packed, freq, phase, z_vals)
+
+    def bwd(res, cts):
+        field_params, packed, freq, phase, z_vals = res
+        _, vjp_fn = jax.vjp(xla, field_params, packed, freq, phase, z_vals)
+        return vjp_fn(cts)
+
+    render_fn.defvjp(fwd, bwd)
+    return render_fn
+
+
+def fused_field_render_trainable(
+    field_params, packed_inputs, freq, phase, z_vals, *,
+    num_steps, tile_rays=128, white_back=False, last_back=False,
+    compute_dtype=jnp.bfloat16, interpret=False, exact_sin=False,
+):
+    """`fused_field_render` with gradients (Pallas fwd / XLA-remat bwd)."""
+    fn = _make_trainable_render(
+        num_steps, tile_rays, white_back, last_back, compute_dtype,
+        interpret, exact_sin)
+    return fn(field_params, packed_inputs, freq, phase, z_vals)
 
 
 # ---------------------------------------------------------------------------
