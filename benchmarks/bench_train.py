@@ -42,6 +42,7 @@ def main():
     meta["dataset_length"] = opt.batch
     meta["pallas_knn"] = jax.default_backend() not in ("cpu",)
     meta["pallas_field"] = meta["pallas_knn"]
+    meta["pallas_raster"] = meta["pallas_knn"]
 
     B = opt.batch
     smpl = synthetic_smpl_model(num_verts=6890, num_faces=13776)

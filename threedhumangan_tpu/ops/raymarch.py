@@ -144,29 +144,48 @@ def _raymarch_kernel(
     out_ref, depth_ref = rest_refs[len(weight_names) :]
     weights = {name: ref[:] for name, ref in zip(weight_names, weight_refs)}
 
-    pk = packed_ref[0]      # (S, TILE_R, 37) step-major slabs
     z = z_ref[0]            # (TILE_R, S)
     freq = freq_ref[0]      # (num_blocks, hidden)
     phase = phase_ref[0]
+    n_cols = INPUT_PACK + (1 if with_noise else 0)
 
-    def eval_step(s):
-        slab = (jax.lax.dynamic_index_in_dim(pk, s, 0, keepdims=False)
-                if march_loop else pk[s])
-        return _field_slab(
-            weights, slab, freq, phase, hidden_dim, geo_dim, compute_dtype,
-            exact_sin, with_noise)
+    if march_loop:
+        # dynamic REF index per step (Mosaic cannot dynamic-slice values);
+        # z_s / z_next ride as two extra packed columns so nothing else
+        # needs a dynamic slice
+        def eval_step(s):
+            slab = packed_ref[0, s]             # (TILE_R, n_cols + 2)
+            z_s = slab[:, n_cols : n_cols + 1]
+            z_n = slab[:, n_cols + 1 : n_cols + 2]
+            field, sigma = _field_slab(
+                weights, slab[:, :n_cols], freq, phase, hidden_dim, geo_dim,
+                compute_dtype, exact_sin, with_noise)
+            return field, sigma, z_s, z_n
+    else:
+        pk = packed_ref[0]  # (S, TILE_R, 37[+1]) step-major slabs
+
+        def eval_step(s):
+            field, sigma = _field_slab(
+                weights, pk[s], freq, phase, hidden_dim, geo_dim,
+                compute_dtype, exact_sin, with_noise)
+            z_s = z[:, s : s + 1]
+            z_n = z[:, s + 1 : s + 2] if s + 1 < num_steps else z_s
+            return field, sigma, z_s, z_n
 
     out_width = weights["w_feat"].shape[1] + 3
-    out, depth = _march(eval_step, z, tile_rays, num_steps, white_back,
+    out, depth = _march(eval_step, tile_rays, num_steps, white_back,
                         last_back, out_width=out_width, loop=march_loop)
     out_ref[0] = out
     depth_ref[0] = depth
 
 
-def _march(eval_step, z, tile_rays, num_steps, white_back, last_back,
+def _march(eval_step, tile_rays, num_steps, white_back, last_back,
            out_width=None, loop=False):
     """Streaming front-to-back composite over the step axis
     (ref volume_rendering.py ray_integration :12-56 without cumprod).
+
+    ``eval_step(s) -> (field, sigma, z_s, z_next)`` — the step provides
+    its own depth samples so loop mode needs no dynamic value slicing.
 
     ``loop=True`` runs the S-1 leading steps under ``lax.fori_loop`` with
     the (T, w_sum, out, depth) accumulators as carry instead of a Python
@@ -182,9 +201,7 @@ def _march(eval_step, z, tile_rays, num_steps, white_back, last_back,
     depth_acc = jnp.zeros((tile_rays, 1), jnp.float32)
 
     def step_fn(s, T, w_sum, out_acc, depth_acc):
-        field_s, sigma_s = eval_step(s)
-        z_s = jax.lax.dynamic_slice_in_dim(z, s, 1, axis=1) if loop else z[:, s : s + 1]
-        z_n = jax.lax.dynamic_slice_in_dim(z, s + 1, 1, axis=1) if loop else z[:, s + 1 : s + 2]
+        field_s, sigma_s, z_s, z_n = eval_step(s)
         delta = z_n - z_s
         alpha = 1.0 - jnp.exp(-delta * jnp.maximum(sigma_s, 0.0))
         w = alpha * T
@@ -211,8 +228,7 @@ def _march(eval_step, z, tile_rays, num_steps, white_back, last_back,
 
     # final step: delta = 1e9 (ref volume_rendering.py:21-22), residual
     # transmittance folded into the last weight
-    field_l, sigma_l = eval_step(S - 1)
-    z_l = z[:, S - 1 : S]
+    field_l, sigma_l, z_l, _ = eval_step(S - 1)
     alpha_l = 1.0 - jnp.exp(-1e9 * jnp.maximum(sigma_l, 0.0))
     w_l = alpha_l * T
     w_total = w_sum + w_l
@@ -293,6 +309,16 @@ def fused_field_render(
 
     # step-major slabs: (B, P, C) -> (B, S, R, C)
     packed_sm = packed_inputs.reshape(B, R, num_steps, n_cols).transpose(0, 2, 1, 3)
+    if march_loop:
+        # z_s / z_next ride as two extra columns: loop mode reads each
+        # step's slab through a dynamic ref index and must not slice the
+        # (TILE_R, S) z value dynamically (Mosaic lowering gap)
+        z_sm = z_vals.transpose(0, 2, 1)[..., None]                # (B, S, R, 1)
+        z_next = jnp.concatenate([z_vals[..., 1:], z_vals[..., -1:]], -1)
+        packed_sm = jnp.concatenate(
+            [packed_sm, z_sm, z_next.transpose(0, 2, 1)[..., None]], axis=-1)
+
+    n_cols_k = packed_sm.shape[-1]
 
     # (B, NB*H) -> (B, NB, H): per-layer conditioning becomes a sublane-row
     # slice in the kernel (lane-offset slices break Mosaic broadcasts), and
@@ -311,7 +337,7 @@ def fused_field_render(
     grid = (B, n_tiles)
 
     in_specs = [
-        pl.BlockSpec((1, num_steps, tile_rays, n_cols), lambda b, t: (b, 0, t, 0),
+        pl.BlockSpec((1, num_steps, tile_rays, n_cols_k), lambda b, t: (b, 0, t, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, n_blocks, hidden_dim), lambda b, t: (b, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -531,11 +557,14 @@ def _raymarch_geo_kernel(
         dirs = slab[:, 3:6]
         noise = slab[:, 6:7] if with_noise else None
         geo = _geo_slab(pts_raw, verts_t, vsq, vfeat_t, skel_t, ssq, legacy_mode)
-        return _field_slab_parts(
+        field, sigma = _field_slab_parts(
             weights, pts_raw * input_scaler, geo, dirs, noise, freq, phase,
             compute_dtype, exact_sin)
+        z_s = z[:, s : s + 1]
+        z_n = z[:, s + 1 : s + 2] if s + 1 < num_steps else z_s
+        return field, sigma, z_s, z_n
 
-    out, depth = _march(eval_step, z, tile_rays, num_steps, white_back, last_back)
+    out, depth = _march(eval_step, tile_rays, num_steps, white_back, last_back)
     out_ref[0] = out
     depth_ref[0] = depth
 

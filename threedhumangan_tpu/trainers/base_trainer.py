@@ -106,15 +106,19 @@ class Trainer:
         self.loader_fn, self.dataset = get_dataset_distributed(
             meta["dataset"], self.world_size, self.rank, self.proc_batch_size,
             smpl_model=self.smpl_model, **kwargs)
-        self.preprocessor = get_preprocessor(meta, smpl_model=self.dataset.smpl_model)
         self._stage_meta = dict(meta)
         self._stage_meta.pop("nerf_noise", None)
         # geo features are stop-gradient data prep, so the Pallas 1-NN kernel
         # is usable in training whenever a real accelerator is present; the
         # fused ray-march likewise serves every no-grad forward (D-step fakes)
+        # and, via the custom-VJP wrapper, the G-step grad path; the Pallas
+        # tile rasterizer serves the per-batch conditioning
         on_accel = jax.default_backend() not in ("cpu",)
         self._stage_meta.setdefault("pallas_knn", on_accel)
         self._stage_meta.setdefault("pallas_field", on_accel)
+        self._stage_meta.setdefault("pallas_raster", on_accel)
+        self.preprocessor = get_preprocessor(
+            self._stage_meta, smpl_model=self.dataset.smpl_model)
 
         # SPMD mesh over all local devices whose count divides the per-proc
         # batch (TPU-native DDP, ref base_trainer.py:102-104): the batch axis
