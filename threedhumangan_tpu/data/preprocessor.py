@@ -71,15 +71,35 @@ class Preprocessor:
         self.raster_tile = raster_tile
         self.raster_faces_per_tile = raster_faces_per_tile
         self.pallas_raster = pallas_raster
+        # content identity: the preprocessor crosses jit boundaries as a
+        # static argument (and keys the trainer's compiled-step memo), so
+        # two instances built from the same config + tables must compare
+        # equal or every Trainer rebuild re-traces its train steps
+        self._content_key = (
+            gen_height, gen_width, coordinate_mode, h_mean, v_mean,
+            h_stddev, v_stddev, raster_tile, raster_faces_per_tile,
+            pallas_raster,
+            hash(self.smpl_faces.tobytes()),
+            hash(np.asarray(faces_to_labels, np.int64).tobytes()),
+        )
+
+    def __hash__(self):
+        return hash(self._content_key)
+
+    def __eq__(self, other):
+        return (isinstance(other, Preprocessor)
+                and self._content_key == other._content_key)
 
     # -- public API ---------------------------------------------------------
 
-    def __call__(self, data: Dict, rotate: bool, rng: jax.Array) -> Dict:
-        """(ref forward :44-53)"""
+    def __call__(self, data: Dict, rotate, rng: jax.Array) -> Dict:
+        """(ref forward :44-53).  ``rotate`` may be a traced bool — phase
+        flags are step data, not compile-time constants."""
         B = data["scales"].shape[0]
         kh, kv = jax.random.split(rng)
-        h_rot = jax.random.normal(kh, (B,)) * (self.h_stddev if rotate else 0.0) + self.h_mean
-        v_rot = jax.random.normal(kv, (B,)) * (self.v_stddev if rotate else 0.0) + self.v_mean
+        rot = jnp.asarray(rotate, jnp.float32)
+        h_rot = jax.random.normal(kh, (B,)) * (self.h_stddev * rot) + self.h_mean
+        v_rot = jax.random.normal(kv, (B,)) * (self.v_stddev * rot) + self.v_mean
         r_rot = jnp.zeros_like(h_rot)
         return self.forward_with_rotation(data, h_rot, v_rot, r_rot)
 

@@ -122,13 +122,14 @@ def _group_norm_stats(tree: Dict, prefix: str) -> Dict:
     return out
 
 
-def _choose_segments(rng, rotate: bool, rasterized, body, p: float = 0.5):
+def _choose_segments(rng, rotate, rasterized, body, p: float = 0.5):
     """ref :352-354 — rotated phases must use rasterized labels (annotations
-    no longer align); otherwise a 50/50 coin."""
-    if rotate:
-        return rasterized
+    no longer align); otherwise a 50/50 coin.  ``rotate`` may be traced:
+    phase flags enter the step as data so one program serves every phase
+    slot (4x fewer XLA compiles per curriculum stage)."""
     coin = jax.random.uniform(rng, ()) < p
-    return jnp.where(coin, rasterized, body)
+    use_raster = jnp.asarray(rotate, bool) | coin
+    return jnp.where(use_raster, rasterized, body)
 
 
 # ---------------------------------------------------------------------------
@@ -253,12 +254,19 @@ def d_train_step(
         else:
             lat = 0.0 * (jnp.sum(out_real["latents"]) + jnp.sum(out_fake["latents"]))
 
-        # R1 on the real input (x4 on R1 phases, ref :392)
-        if phase["do_r1"] and meta["r1_lambda"] > 0:
+        # R1 on the real input (x4 on R1 phases, ref :392).  do_r1 is a
+        # TRACED flag under lax.cond: both branches compile once into the
+        # single per-stage program (the R1 double-backward subgraph is the
+        # only duplicated piece) instead of two whole-step variants.
+        if meta["r1_lambda"] > 0:
             d_fn = lambda img: discriminator_forward(
                 params_D, ts.state_D, img, data, train=False, compute_dtype=cdt)[0]
-            r1 = 4.0 * L.r1_regularization(
-                d_fn, real_images, meta["r1_lambda"], gan_lambda, seg_lambda)
+            r1 = jax.lax.cond(
+                jnp.asarray(phase["do_r1"], bool),
+                lambda imgs: 4.0 * L.r1_regularization(
+                    d_fn, imgs, meta["r1_lambda"], gan_lambda, seg_lambda),
+                lambda imgs: jnp.float32(0.0),
+                real_images)
             stats["r1"] = moments(r1 / 4.0)
         else:
             r1 = 0.0
@@ -447,10 +455,10 @@ def g_train_step(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("preprocessor", "meta_hash", "rotate", "do_r1", "uncond", "gen_modal"),
+    static_argnames=("preprocessor", "meta_hash", "uncond", "gen_modal"),
 )
-def _d_step_jit(ts, data, rng, lr, nerf_noise, ada_p, preprocessor, meta_hash,
-                rotate, do_r1, uncond, gen_modal):
+def _d_step_jit(ts, data, rng, lr, nerf_noise, ada_p, rotate, do_r1,
+                preprocessor, meta_hash, uncond, gen_modal):
     meta = _META_CACHE[meta_hash]
     phase = {"rotate": rotate, "do_r1": do_r1, "uncond": uncond, "gen_modal": gen_modal}
     return d_train_step(ts, data, rng, lr, nerf_noise, preprocessor, meta, phase,
@@ -459,10 +467,10 @@ def _d_step_jit(ts, data, rng, lr, nerf_noise, ada_p, preprocessor, meta_hash,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("preprocessor", "meta_hash", "rotate", "do_r1", "uncond", "gen_modal"),
+    static_argnames=("preprocessor", "meta_hash", "uncond", "gen_modal"),
 )
-def _g_step_jit(ts, data, rng, lr, nerf_noise, ada_p, preprocessor, meta_hash,
-                rotate, do_r1, uncond, gen_modal):
+def _g_step_jit(ts, data, rng, lr, nerf_noise, ada_p, rotate, do_r1,
+                preprocessor, meta_hash, uncond, gen_modal):
     meta = _META_CACHE[meta_hash]
     phase = {"rotate": rotate, "do_r1": do_r1, "uncond": uncond, "gen_modal": gen_modal}
     return g_train_step(ts, data, rng, lr, nerf_noise, preprocessor, meta, phase,
@@ -472,19 +480,33 @@ def _g_step_jit(ts, data, rng, lr, nerf_noise, ada_p, preprocessor, meta_hash,
 _META_CACHE: Dict[int, Dict] = {}
 
 
+# keys with no effect on the compiled computation (presentation /
+# schedule-host-side only) — excluded from the content hash so e.g. two
+# configs differing only by "name" share every compiled step
+_NONCOMPUTE_META_KEYS = ("nerf_noise", "name", "output_dir")
+
+
 def register_meta(meta: Dict) -> int:
     """Static-side registry so the config dict can cross the jit boundary as
     a hashable key.  Keyed by CONTENT (not id) so re-extracting metadata each
     step (ref base_trainer.py:368) never retriggers compilation."""
-    key = hash(repr(sorted((k, repr(v)) for k, v in meta.items() if k != "nerf_noise")))
+    key = hash(repr(sorted((k, repr(v)) for k, v in meta.items()
+                           if k not in _NONCOMPUTE_META_KEYS)))
     if key not in _META_CACHE:
         _META_CACHE[key] = meta
     return key
 
 
+_MESH_PAIR_CACHE: Dict[tuple, callable] = {}
+
+
 def make_mesh_train_pair(mesh, preprocessor, meta: Dict, axis_name: str = "data"):
     """SPMD training-step factory — the TPU-native equivalent of the
     reference's DDP wrap (ref base_trainer.py:102-104, apps/train.py:57).
+
+    Memoized on (mesh, preprocessor content, meta content): rebuilding a
+    Trainer (resume, tests) or revisiting a curriculum stage reuses the
+    already-traced step instead of re-tracing ~identical programs.
 
     Returns ``step(ts, batch, rng, phase, lr_g, lr_d, nerf_noise, ada_p)``
     running D then G in ONE jitted shard_map program: the global batch is
@@ -500,14 +522,18 @@ def make_mesh_train_pair(mesh, preprocessor, meta: Dict, axis_name: str = "data"
     from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
+    memo_key = (mesh, preprocessor, register_meta(meta), axis_name)
+    if memo_key in _MESH_PAIR_CACHE:
+        return _MESH_PAIR_CACHE[memo_key]
+
     cache: Dict[tuple, callable] = {}
 
     def _build(phase_key):
-        rotate, do_r1, uncond, gen_modal = phase_key
-        phase = {"rotate": rotate, "do_r1": do_r1, "uncond": uncond,
-                 "gen_modal": gen_modal}
+        uncond, gen_modal = phase_key
 
-        def full(ts, data, rng, lr_d, lr_g, noise, ada):
+        def full(ts, data, rng, rotate, do_r1, lr_d, lr_g, noise, ada):
+            phase = {"rotate": rotate, "do_r1": do_r1, "uncond": uncond,
+                     "gen_modal": gen_modal}
             rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
             k_d, k_g = jax.random.split(rng)
             ts, d_stats = d_train_step(
@@ -520,20 +546,25 @@ def make_mesh_train_pair(mesh, preprocessor, meta: Dict, axis_name: str = "data"
 
         sharded = shard_map(
             full, mesh=mesh,
-            in_specs=(P(), P(axis_name), P(), P(), P(), P(), P()),
+            in_specs=(P(), P(axis_name), P(), P(), P(), P(), P(), P(), P()),
             out_specs=(P(), P()),
             check_rep=False)
         return jax.jit(sharded, donate_argnums=(0,))
 
     def step(ts, batch, rng, phase, lr_g, lr_d, nerf_noise, ada_p=0.0):
-        key = (phase["rotate"], phase["do_r1"], phase["uncond"], phase["gen_modal"])
+        # rotate/do_r1 enter as DATA: one compiled program serves all 8
+        # phase slots of the shipped configs (uncond/gen_modal are uniform
+        # there); 4x fewer ~minutes-long XLA compiles per stage
+        key = (phase["uncond"], phase["gen_modal"])
         if key not in cache:
             cache[key] = _build(key)
         return cache[key](
             ts, batch, rng,
+            jnp.asarray(phase["rotate"], bool), jnp.asarray(phase["do_r1"], bool),
             jnp.asarray(lr_d, jnp.float32), jnp.asarray(lr_g, jnp.float32),
             jnp.asarray(nerf_noise, jnp.float32), jnp.asarray(ada_p, jnp.float32))
 
+    _MESH_PAIR_CACHE[memo_key] = step
     return step
 
 
@@ -543,12 +574,14 @@ def train_step_pair(ts, data, rng, meta, preprocessor, phase, lr_g, lr_d,
     meta_hash = register_meta(meta)
     k_d, k_g = jax.random.split(rng)
     ada = jnp.asarray(ada_p, jnp.float32)
+    rot = jnp.asarray(phase["rotate"], bool)
+    dr1 = jnp.asarray(phase["do_r1"], bool)
     ts, d_stats = _d_step_jit(
         ts, data, k_d, jnp.asarray(lr_d, jnp.float32), jnp.asarray(nerf_noise, jnp.float32),
-        ada, preprocessor, meta_hash,
-        phase["rotate"], phase["do_r1"], phase["uncond"], phase["gen_modal"])
+        ada, rot, dr1, preprocessor, meta_hash,
+        phase["uncond"], phase["gen_modal"])
     ts, g_stats = _g_step_jit(
         ts, data, k_g, jnp.asarray(lr_g, jnp.float32), jnp.asarray(nerf_noise, jnp.float32),
-        ada, preprocessor, meta_hash,
-        phase["rotate"], phase["do_r1"], phase["uncond"], phase["gen_modal"])
+        ada, rot, dr1, preprocessor, meta_hash,
+        phase["uncond"], phase["gen_modal"])
     return ts, {**d_stats, **g_stats}
