@@ -370,8 +370,13 @@ def _rasterize_tile_kernel(tri_ref, out_ref, *, K, k_chunk, tile, tiles_x,
     best_w1 = jnp.zeros((1, P), f32)
     best_w2 = jnp.zeros((1, P), f32)
 
-    for c in range(K // k_chunk):
-        tri = tri_ref[0, 0, c * k_chunk : (c + 1) * k_chunk, :]  # (Kc, 11)
+    # chunk loop as fori_loop with the running best as carry: Mosaic does
+    # not reuse stack buffers across unrolled iterations, so a Python
+    # unroll allocates every chunk's (Kc, P) temporaries simultaneously
+    # (~36 MB at K=2048 — over the 16 MB VMEM budget)
+    def chunk_body(c, carry):
+        best_z, best_f, best_w0, best_w1, best_w2 = carry
+        tri = tri_ref[0, 0, pl.ds(c * k_chunk, k_chunk), :]      # (Kc, 11)
         ax, ay, az = tri[:, 0:1], tri[:, 1:2], tri[:, 2:3]
         bx, by, bz = tri[:, 3:4], tri[:, 4:5], tri[:, 5:6]
         cx, cy, cz = tri[:, 6:7], tri[:, 7:8], tri[:, 8:9]
@@ -410,6 +415,11 @@ def _rasterize_tile_kernel(tri_ref, out_ref, *, K, k_chunk, tile, tiles_x,
         best_w1 = jnp.where(closer, pick(w1), best_w1)
         best_w2 = jnp.where(closer, pick(w2), best_w2)
         best_z = jnp.where(closer, zmin, best_z)
+        return best_z, best_f, best_w0, best_w1, best_w2
+
+    best_z, best_f, best_w0, best_w1, best_w2 = jax.lax.fori_loop(
+        0, K // k_chunk, chunk_body,
+        (best_z, best_f, best_w0, best_w1, best_w2))
 
     best_f = jnp.where(best_z < _BIG, best_f, -1.0)
     zeros = jnp.zeros((3, P), f32)
