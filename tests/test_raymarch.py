@@ -302,3 +302,93 @@ def test_march_loop_matches_unrolled(rng):
                                         march_loop=True, **kw)
     np.testing.assert_allclose(np.asarray(out_l), np.asarray(out_u), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(depth_l), np.asarray(depth_u), rtol=1e-6)
+
+
+@pytest.mark.parametrize("white_back,last_back,with_noise",
+                         [(True, False, False), (False, True, True)])
+def test_pallas_bwd_matches_xla_vjp(rng, white_back, last_back, with_noise):
+    """fused_field_render_bwd (full in-VMEM backward kernel, interpret
+    mode) vs jax.vjp of the XLA chain, same random cotangents."""
+    from threedhumangan_tpu.ops.raymarch import _xla_packed_render
+    from threedhumangan_tpu.ops.raymarch_bwd import fused_field_render_bwd
+
+    B, R, S = 2, 8, 4
+    H, G, F, NB = 16, 31, 8, 4
+    P = R * S
+    scale = 2.0 / 2.85
+
+    params = init_coordconcat_siren(rng, 3, H, G, F, NB)
+    ks = jax.random.split(rng, 8)
+    points = jax.random.normal(ks[0], (B, P, 3))
+    geo = jax.random.normal(ks[1], (B, P, G)) * 0.3
+    dirs = jax.random.normal(ks[2], (B, P, 3))
+    freq = jax.random.normal(ks[3], (B, NB * H)) * 0.1
+    phase = jax.random.normal(ks[4], (B, NB * H)) * 0.1
+    z_vals = jnp.sort(jax.random.uniform(ks[0], (B, R, S)) + 1.0, axis=-1)
+    noise = 0.3 * jax.random.normal(ks[5], (B, P, 1)) if with_noise else None
+    packed = pack_field_inputs(points, geo, dirs, scale, noise=noise)
+    g_out = jax.random.normal(ks[6], (B, R, F + 3))
+    g_depth = jax.random.normal(ks[7], (B, R, 1))
+
+    def xla(p, f, ph):
+        return _xla_packed_render(p, packed, f, ph, z_vals, S,
+                                  white_back, last_back, jnp.float32, True)
+
+    _, vjp_fn = jax.vjp(xla, params, freq, phase)
+    dp_ref, df_ref, dph_ref = vjp_fn((g_out, g_depth))
+
+    dp, df, dph = fused_field_render_bwd(
+        params, packed, freq, phase, z_vals, g_out, g_depth,
+        num_steps=S, tile_rays=4, white_back=white_back,
+        last_back=last_back, compute_dtype=jnp.float32, interpret=True,
+        exact_sin=True)
+
+    for a, b in zip(jax.tree_util.tree_leaves((dp, df, dph)),
+                    jax.tree_util.tree_leaves((dp_ref, df_ref, dph_ref))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_trainable_pallas_bwd_grads_match(rng):
+    """fused_field_render_trainable(pallas_bwd=True): weight/freq/phase
+    grads must match the XLA chain; packed/z cotangents are zeros by
+    contract (no-grad data on every caller path)."""
+    from threedhumangan_tpu.ops.raymarch import (
+        _xla_packed_render,
+        fused_field_render_trainable,
+    )
+
+    B, R, S = 2, 8, 4
+    H, G, F, NB = 16, 31, 8, 4
+    P = R * S
+    scale = 2.0 / 2.85
+
+    params = init_coordconcat_siren(rng, 3, H, G, F, NB)
+    ks = jax.random.split(rng, 6)
+    points = jax.random.normal(ks[0], (B, P, 3))
+    geo = jax.random.normal(ks[1], (B, P, G)) * 0.3
+    dirs = jax.random.normal(ks[2], (B, P, 3))
+    freq = jax.random.normal(ks[3], (B, NB * H)) * 0.1
+    phase = jax.random.normal(ks[4], (B, NB * H)) * 0.1
+    z_vals = jnp.sort(jax.random.uniform(ks[0], (B, R, S)) + 1.0, axis=-1)
+    packed = pack_field_inputs(points, geo, dirs, scale)
+
+    def loss(fn):
+        def f(p, fr, ph):
+            out, depth = fn(p, fr, ph)
+            return jnp.sum(out * out) + jnp.sum(depth * depth)
+        return f
+
+    tr = loss(lambda p, fr, ph: fused_field_render_trainable(
+        p, packed, fr, ph, z_vals, num_steps=S, tile_rays=4,
+        white_back=True, compute_dtype=jnp.float32, interpret=True,
+        exact_sin=True, pallas_bwd=True))
+    xla = loss(lambda p, fr, ph: _xla_packed_render(
+        p, packed, fr, ph, z_vals, S, True, False, jnp.float32, True))
+
+    g_tr = jax.grad(tr, argnums=(0, 1, 2))(params, freq, phase)
+    g_x = jax.grad(xla, argnums=(0, 1, 2))(params, freq, phase)
+    for a, b in zip(jax.tree_util.tree_leaves(g_tr),
+                    jax.tree_util.tree_leaves(g_x)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-5)

@@ -252,6 +252,7 @@ def render(
             if grad_path:
                 render_out, depths = fused_field_render_trainable(
                     params["neural_field"], packed, freq, phase, z_flat,
+                    pallas_bwd=meta.get("pallas_field_bwd", False),
                     **common)
             else:
                 render_out, depths = fused_field_render(

@@ -422,7 +422,8 @@ def _xla_packed_render(field_params, packed_inputs, freq, phase, z_vals,
 
 @functools.lru_cache(maxsize=None)
 def _make_trainable_render(num_steps, tile_rays, white_back, last_back,
-                           compute_dtype, interpret, exact_sin):
+                           compute_dtype, interpret, exact_sin,
+                           pallas_bwd=False):
     """Differentiable fused render: the primal forward is the Pallas kernel
     (fast — weights resident in VMEM, no HBM activations); the backward
     rematerializes through `_xla_packed_render` and pulls cotangents back
@@ -451,6 +452,23 @@ def _make_trainable_render(num_steps, tile_rays, white_back, last_back,
 
     def bwd(res, cts):
         field_params, packed, freq, phase, z_vals = res
+        if pallas_bwd:
+            # full in-VMEM backward kernel (ops/raymarch_bwd.py).  The
+            # packed inputs and z samples are no-grad data on every
+            # caller path (ray generation + geo features are
+            # stop-gradient, ref map3d_generator.py:408-426), so their
+            # cotangents are zeros by construction.
+            from threedhumangan_tpu.ops.raymarch_bwd import fused_field_render_bwd
+
+            d_params, d_freq, d_phase = fused_field_render_bwd(
+                field_params, packed, freq, phase, z_vals, cts[0], cts[1],
+                num_steps=num_steps, tile_rays=tile_rays,
+                white_back=white_back, last_back=last_back,
+                compute_dtype=compute_dtype, interpret=interpret,
+                exact_sin=exact_sin)
+            return (d_params, jnp.zeros_like(packed),
+                    d_freq.astype(freq.dtype), d_phase.astype(phase.dtype),
+                    jnp.zeros_like(z_vals))
         _, vjp_fn = jax.vjp(xla, field_params, packed, freq, phase, z_vals)
         return vjp_fn(cts)
 
@@ -462,11 +480,15 @@ def fused_field_render_trainable(
     field_params, packed_inputs, freq, phase, z_vals, *,
     num_steps, tile_rays=128, white_back=False, last_back=False,
     compute_dtype=jnp.bfloat16, interpret=False, exact_sin=False,
+    pallas_bwd=False,
 ):
-    """`fused_field_render` with gradients (Pallas fwd / XLA-remat bwd)."""
+    """`fused_field_render` with gradients: Pallas forward and either the
+    XLA-remat backward (default) or the full Pallas backward kernel
+    (``pallas_bwd=True``; weight/freq/phase cotangents only — packed and
+    z are no-grad data on every caller path)."""
     fn = _make_trainable_render(
         num_steps, tile_rays, white_back, last_back, compute_dtype,
-        interpret, exact_sin)
+        interpret, exact_sin, pallas_bwd)
     return fn(field_params, packed_inputs, freq, phase, z_vals)
 
 
