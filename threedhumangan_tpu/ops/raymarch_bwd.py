@@ -153,8 +153,15 @@ def _raymarch_bwd_kernel(
     lane_s = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
 
     # ---- Phase A: tables via one-hot accumulation -------------------------
+    # The four (R, S) per-step tables are PACKED into one (R, 4S) array:
+    # Mosaic miscompiles (compiler subprocess crash) a fori_loop whose body
+    # holds the full SIREN when the carry is a tuple of several
+    # mixed-shape arrays; a 2-array carry with lane-offset one-hot stores
+    # is equivalent and compiles.  Layout: [g | a | t | sig] blocks of S.
+    lane_4s = jax.lax.broadcasted_iota(jnp.int32, (1, 4 * S), 1)
+
     def phase_a(s, carry):
-        T_run, g_tab, a_tab, t_tab, s_tab = carry
+        T_run, tab = carry
         acts = forward_acts(s)
         sigma = acts["sigma"]                      # (R, 1)
         onehot = (lane_s == s).astype(f32)         # (1, S)
@@ -164,17 +171,19 @@ def _raymarch_bwd_kernel(
         delta = jnp.where(s == S - 1, 1e9, z_n - z_s)
         alpha = 1.0 - jnp.exp(-delta * jnp.maximum(sigma, 0.0))
         gdot = jnp.sum(go * acts["field"], axis=1, keepdims=True)  # (R,1)
-        g_tab = g_tab + gdot * onehot
-        a_tab = a_tab + alpha * onehot
-        t_tab = t_tab + T_run * onehot
-        s_tab = s_tab + sigma * onehot
+        upd = (gdot * (lane_4s == s).astype(f32)
+               + alpha * (lane_4s == S + s).astype(f32)
+               + T_run * (lane_4s == 2 * S + s).astype(f32)
+               + sigma * (lane_4s == 3 * S + s).astype(f32))
         T_run = T_run * (1.0 - alpha + 1e-12)
-        return T_run, g_tab, a_tab, t_tab, s_tab
+        return T_run, tab + upd
 
-    zeros_rs = jnp.zeros((R, S), f32)
-    T_run, g_tab, a_tab, t_tab, s_tab = jax.lax.fori_loop(
-        0, S, phase_a,
-        (jnp.ones((R, 1), f32), zeros_rs, zeros_rs, zeros_rs, zeros_rs))
+    T_run, tab = jax.lax.fori_loop(
+        0, S, phase_a, (jnp.ones((R, 1), f32), jnp.zeros((R, 4 * S), f32)))
+    g_tab = tab[:, 0 * S : 1 * S]
+    a_tab = tab[:, 1 * S : 2 * S]
+    t_tab = tab[:, 2 * S : 3 * S]
+    s_tab = tab[:, 3 * S : 4 * S]
 
     # ---- table algebra ----------------------------------------------------
     w_tab = t_tab * a_tab                                  # (R, S)
@@ -228,12 +237,39 @@ def _raymarch_bwd_kernel(
         last_oh = (lane_s == S - 1).astype(f32)
         coef_tab = coef_tab + residual * last_oh
 
-    # ---- Phase B: per-step backprop with grad carry -----------------------
-    def zero_grads():
-        g = {n: jnp.zeros(weights[n].shape, f32) for n in weight_names}
-        g["freq"] = jnp.zeros((freq.shape[0], hidden_dim), f32)
-        g["phase"] = jnp.zeros((phase.shape[0], hidden_dim), f32)
-        return g
+    # ---- Phase B: per-step backprop, accumulating straight into the
+    # grid-shared output refs (same Mosaic multi-carry limitation as
+    # Phase A: a dict carry of ~22 grad arrays under this body crashes
+    # the compiler; ref read-modify-write inside the loop does not) -----
+    b_id = pl.program_id(0)
+    t_id = pl.program_id(1)
+    names_out = _grad_names(weight_names, n_blocks)
+    ref_map = dict(zip(names_out, out_refs))
+
+    # zero the shared accumulators at their first visiting program
+    @pl.when(jnp.logical_and(b_id == 0, t_id == 0))
+    def _zero_weight_grads():
+        for n in weight_names:
+            ref_map[n][...] = jnp.zeros(ref_map[n].shape, f32)
+
+    @pl.when(t_id == 0)
+    def _zero_cond_grads():
+        ref_map["freq"][...] = jnp.zeros(ref_map["freq"].shape, f32)
+        ref_map["phase"][...] = jnp.zeros(ref_map["phase"].shape, f32)
+
+    class _RefGrads:
+        """dict-like view accumulating into the output refs."""
+
+        def __getitem__(self, n):
+            if n in ("freq", "phase"):
+                return ref_map[n][0]
+            return ref_map[n][...]
+
+        def __setitem__(self, n, val):
+            if n in ("freq", "phase"):
+                ref_map[n][...] = val[None]
+            else:
+                ref_map[n][...] = val
 
     def phase_b(s, grads):
         acts = forward_acts(s)
@@ -297,31 +333,9 @@ def _raymarch_bwd_kernel(
         grads["b_coord"] = grads["b_coord"] + jnp.sum(du1, axis=0, keepdims=True)
         grads["w_geo"] = grads["w_geo"] + outer(acts["geo"], du2)
         grads["b_geo"] = grads["b_geo"] + jnp.sum(du2, axis=0, keepdims=True)
-        return grads
+        return 0
 
-    grads = jax.lax.fori_loop(0, S, phase_b, zero_grads())
-
-    # ---- accumulate into the grid-shared output blocks --------------------
-    b_id = pl.program_id(0)
-    t_id = pl.program_id(1)
-    names = _grad_names(weight_names, n_blocks)
-    for name, ref in zip(names, out_refs):
-        if name in ("freq", "phase"):
-            val = grads[name][None]          # (1, NB, H); per-batch block
-            @pl.when(t_id == 0)
-            def _init(ref=ref, val=val):
-                ref[...] = val
-            @pl.when(t_id != 0)
-            def _acc(ref=ref, val=val):
-                ref[...] = ref[...] + val
-        else:
-            val = grads[name]
-            @pl.when(jnp.logical_and(b_id == 0, t_id == 0))
-            def _init(ref=ref, val=val):
-                ref[...] = val
-            @pl.when(jnp.logical_or(b_id != 0, t_id != 0))
-            def _acc(ref=ref, val=val):
-                ref[...] = ref[...] + val
+    jax.lax.fori_loop(0, S, lambda s, c: phase_b(s, _RefGrads()), 0)
 
 
 @functools.partial(
