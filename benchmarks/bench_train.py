@@ -4,6 +4,12 @@ full adversarial training-step throughput.
 Prints one JSON line per benchmark (the driver's headline bench stays
 bench.py at the repo root).
 
+Measurement: true device time via the fori_loop differencing harness
+(benchmarks/timing.py) — the whole D+G pair runs inside ONE jit with a
+scalar carry threaded through the step counter, so neither dispatch/RPC
+overhead nor the tunnel's non-blocking block_until_ready distorts the
+number.
+
 Usage:  python benchmarks/bench_train.py [--config MAP3DBN] [--batch 8]
 """
 
@@ -11,7 +17,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.getcwd())
 
@@ -20,7 +25,6 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", type=str, default="MAP3DBN")
     parser.add_argument("--batch", type=int, default=8)
-    parser.add_argument("--iters", type=int, default=5)
     parser.add_argument("--platform", type=str, default=None)
     opt = parser.parse_args()
 
@@ -30,19 +34,25 @@ def main():
     if opt.platform:
         jax.config.update("jax_platforms", opt.platform)
 
+    from benchmarks.timing import device_time
     from threedhumangan_tpu import configs
     from threedhumangan_tpu.data.dataset import SyntheticSHHQDataset, iterate_batches
     from threedhumangan_tpu.data.preprocessor import get_preprocessor
     from threedhumangan_tpu.models.discriminator import discriminator_forward, init_discriminator
     from threedhumangan_tpu.models.smpl import synthetic_smpl_model
     from threedhumangan_tpu.trainers import losses as L
-    from threedhumangan_tpu.trainers.phase_trainer import init_train_state, train_step_pair
+    from threedhumangan_tpu.trainers.phase_trainer import (
+        d_train_step,
+        g_train_step,
+        init_train_state,
+    )
 
     meta = dict(configs.extract_metadata(getattr(configs, opt.config), 0))
     meta["dataset_length"] = opt.batch
-    meta["pallas_knn"] = jax.default_backend() not in ("cpu",)
-    meta["pallas_field"] = meta["pallas_knn"]
-    meta["pallas_raster"] = meta["pallas_knn"]
+    on_acc = jax.default_backend() not in ("cpu",)
+    meta["pallas_knn"] = on_acc
+    meta["pallas_field"] = on_acc
+    meta["pallas_raster"] = on_acc
 
     B = opt.batch
     smpl = synthetic_smpl_model(num_verts=6890, num_faces=13776)
@@ -52,47 +62,47 @@ def main():
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
     rng = jax.random.PRNGKey(0)
 
+    def tick(x):
+        return sum(jnp.sum(v.astype(jnp.float32))
+                   for v in jax.tree_util.tree_leaves(x)) * 1e-30
+
     # ---- #4: D forward + R1 on real batches ----
     params_D, state_D = init_discriminator(rng, meta)
     H, W = meta["gen_height"], meta["gen_width"]
     real = jax.random.normal(rng, (B, H, W, 3))
 
-    @jax.jit
-    def d_r1(params_D, real):
-        d_fn = lambda img: discriminator_forward(params_D, state_D, img, train=False)[0]
-        out, _ = discriminator_forward(params_D, state_D, real, train=True)
-        r1 = L.r1_regularization(d_fn, real, r1_lambda=0.25, gan_lambda=0,
+    def d_r1_step(i, carry):
+        img = real + carry
+        d_fn = lambda im: discriminator_forward(params_D, state_D, im, train=False)[0]
+        out, _ = discriminator_forward(params_D, state_D, img, train=True)
+        r1 = L.r1_regularization(d_fn, img, r1_lambda=0.25, gan_lambda=0,
                                  segmentation_lambda=1)
-        return jnp.sum(out["segments"]) + r1
+        return (jnp.sum(out["segments"]) + r1) * 1e-30
 
-    jax.block_until_ready(d_r1(params_D, real))
-    t0 = time.perf_counter()
-    for _ in range(opt.iters):
-        r = d_r1(params_D, real)
-    jax.block_until_ready(r)
-    dt = (time.perf_counter() - t0) / opt.iters
+    per, _ = device_time(d_r1_step, n1=2, n2=8)
     print(json.dumps({
         "metric": f"D fwd + R1 gradient penalty ({H}x{W})",
-        "value": round(B / dt, 3), "unit": "imgs/sec/chip"}))
+        "value": round(B / per, 3), "unit": "imgs/sec/chip"}), flush=True)
 
-    # ---- #5: full adversarial training step (G + D + pose-mapping) ----
-    ts = init_train_state(rng, meta)
-    phase = meta["phases"][3]  # rotate=False, do_r1=True — the heaviest slot
+    # ---- #5: full adversarial training step (D + G + pose-mapping) ----
+    ts0 = init_train_state(rng, meta)
+    phase = meta["phases"][3]  # do_r1=True — the heaviest slot
+    lr_g = jnp.float32(1e-4)
+    lr_d = jnp.float32(4e-4)
+    noise = jnp.float32(0.5)
 
-    def step(ts, rng):
-        return train_step_pair(ts, batch, rng, meta, pre, phase,
-                               lr_g=1e-4, lr_d=4e-4, nerf_noise=0.5)
+    def pair_step(i, carry):
+        k = jax.random.fold_in(rng, i)
+        kd, kg = jax.random.split(k)
+        ts = ts0._replace(step=ts0.step + (carry * 1e-30).astype(jnp.int32))
+        ts, _ = d_train_step(ts, batch, kd, lr_d, noise, pre, meta, phase)
+        ts, _ = g_train_step(ts, batch, kg, lr_g, noise, pre, meta, phase)
+        return tick(ts.params_G) + tick(ts.params_D)
 
-    ts, _ = step(ts, rng)
-    jax.block_until_ready(ts.params_D)
-    t0 = time.perf_counter()
-    for i in range(opt.iters):
-        ts, _ = step(ts, jax.random.fold_in(rng, i))
-    jax.block_until_ready(ts.params_D)
-    dt = (time.perf_counter() - t0) / opt.iters
+    per, _ = device_time(pair_step, n1=2, n2=6)
     print(json.dumps({
         "metric": f"full adversarial training step ({opt.config}, D+G+R1, batch {B})",
-        "value": round(B / dt, 3), "unit": "imgs/sec/chip"}))
+        "value": round(B / per, 3), "unit": "imgs/sec/chip"}), flush=True)
 
 
 if __name__ == "__main__":

@@ -137,6 +137,10 @@ MAP3DBN = {
     "map3d_mode": "mixed",
     "dataset_length": 10,
     "dataroot": "./datasets/shhq_example_dataset",
+    # the full D+G step fits v5e HBM at batch 8/chip without synthesis
+    # rematerialization (measured: G step 305 vs 359 ms/batch with it on);
+    # larger-resolution configs keep the default (True)
+    "remat_synthesis": False,
     **_common(),
 }
 

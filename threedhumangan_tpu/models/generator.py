@@ -250,9 +250,11 @@ def render(
                 points, modulation, ray_dirs_exp, 2.0 / meta["side_length"],
                 noise=noise_col)
             if grad_path:
+                # default ON: the full Pallas backward measures 305 vs 358
+                # ms/batch8 (XLA-remat bwd) for the MAP3DBN G step on v5e
                 render_out, depths = fused_field_render_trainable(
                     params["neural_field"], packed, freq, phase, z_flat,
-                    pallas_bwd=meta.get("pallas_field_bwd", False),
+                    pallas_bwd=meta.get("pallas_field_bwd", True),
                     **common)
             else:
                 render_out, depths = fused_field_render(
