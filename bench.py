@@ -66,7 +66,9 @@ def main():
     meta["pallas_field"] = on_tpu
     meta["pallas_knn"] = on_tpu
     meta["pallas_synthesis"] = on_tpu
-    meta["pallas_tile_rays"] = 64
+    meta["pallas_tile_rays"] = int(os.environ.get("BENCH_TILE_RAYS", "64"))
+    if os.environ.get("BENCH_SYNTH_TILE"):
+        meta["pallas_synthesis_tile_rows"] = int(os.environ["BENCH_SYNTH_TILE"])
 
     smpl = synthetic_smpl_model(num_verts=6890, num_faces=13776)
     ds = SyntheticSHHQDataset(smpl_model=smpl, **meta)
