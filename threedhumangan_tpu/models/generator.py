@@ -454,7 +454,7 @@ def generator_forward(
             num_blocks=meta["synthesis_blocks"],
             mod_blocks=tuple(meta["mod_blocks"]),
             map3d_mode=meta.get("map3d_mode", "isolated"),
-            tile_rows=meta.get("pallas_synthesis_tile_rows", 4),
+            tile_rows=meta.get("pallas_synthesis_tile_rows", 2),
             compute_dtype=compute_dtype,
         )
         output = {"rgbs": rgbs, "rgbs_render": rgb_render}

@@ -184,7 +184,8 @@ def fused_synthesis(
     num_blocks: int,
     mod_blocks: Tuple[int, ...],
     map3d_mode: str,
-    tile_rows: int = 4,
+    tile_rows: int = 2,  # swept on v5e at 512x256x420: {1: 35.1, 2: 37.0,
+                         # 4: 35.6} imgs/sec/chip end-to-end; 8 OOMs VMEM
     compute_dtype=jnp.bfloat16,
     interpret: bool = False,
     blocks_per_stage: int = 4,
