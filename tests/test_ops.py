@@ -61,8 +61,11 @@ def upfirdn2d_oracle(x_nhwc, f, up=1, down=1, padding=(0, 0, 0, 0), gain=1.0):
     # zero-stuff (trailing zeros included)
     up_x = np.zeros((B, H * up, W * up, C))
     up_x[:, ::up, ::up, :] = x
-    # pad
-    up_x = np.pad(up_x, ((0, 0), (py0, py1), (px0, px1), (0, 0)))
+    # pad or crop (negative pad = crop, ref :189-190)
+    up_x = np.pad(up_x, ((0, 0), (max(py0, 0), max(py1, 0)),
+                         (max(px0, 0), max(px1, 0)), (0, 0)))
+    up_x = up_x[:, max(-py0, 0): up_x.shape[1] - max(-py1, 0),
+                max(-px0, 0): up_x.shape[2] - max(-px1, 0), :]
     # convolve (true convolution: flip the filter)
     fh, fw = f.shape
     Ho = up_x.shape[1] - fh + 1
@@ -75,7 +78,13 @@ def upfirdn2d_oracle(x_nhwc, f, up=1, down=1, padding=(0, 0, 0, 0), gain=1.0):
     return out[:, ::down, ::down, :]
 
 
-@pytest.mark.parametrize("up,down,pad", [(1, 1, (1, 1, 1, 1)), (2, 1, (2, 1, 2, 1)), (1, 2, (1, 1, 1, 1)), (2, 2, (2, 2, 2, 2))])
+@pytest.mark.parametrize("up,down,pad", [
+    (1, 1, (1, 1, 1, 1)), (2, 1, (2, 1, 2, 1)), (1, 2, (1, 1, 1, 1)),
+    (2, 2, (2, 2, 2, 2)),
+    # negative padding = crop before the filter (ref _upfirdn2d_ref :189-190)
+    (1, 1, (-1, 2, 2, -1)), (2, 1, (-1, -1, 2, 2)), (2, 2, (-1, 2, -1, 2)),
+    (1, 2, (0, -1, -1, 0)),
+])
 def test_upfirdn2d_matches_oracle(rng, up, down, pad):
     x = jax.random.normal(rng, (2, 6, 5, 3))
     f = jnp.asarray([1.0, 3.0, 3.0, 1.0])

@@ -175,6 +175,49 @@ def test_mapping_network_parity(ref_modules):
     np.testing.assert_allclose(np.asarray(phase), t2n(ref_phase), rtol=1e-4, atol=1e-5)
 
 
+def test_legacy_two_part_mapping_parity(ref_modules):
+    """Legacy TwoPartMappingNetwork_ (ref mapping_networks.py:44-89) vs our
+    rebuild with copied weights."""
+    _, _, ref_map, _ = ref_modules
+    from threedhumangan_tpu.models.mapping import (
+        apply_two_part_mapping_network_legacy,
+        init_two_part_mapping_network_legacy,
+    )
+
+    # Reference bug: TwoPartMappingNetwork_.__init__ calls
+    # pigan_layers.kaiming_linear_init (mapping_networks.py:75) which lives
+    # in util, not pigan_layers — the legacy class is not constructible
+    # upstream without this patch.
+    if not hasattr(ref_map.pigan_layers, "kaiming_linear_init"):
+        ref_map.pigan_layers.kaiming_linear_init = ref_map.util.kaiming_linear_init
+
+    torch.manual_seed(11)
+    net = ref_map.TwoPartMappingNetwork_(
+        latent_dim=16, map_hidden_dim=32, implicit_output_dim=8,
+        superres_output_dim=24, trunk_layers=2, branch_layers=2, normalize=True)
+    z = torch.randn(3, 16)
+    ref_imp, ref_sup = net(z)
+
+    def linears(seq):
+        return [m for m in seq if isinstance(m, torch.nn.Linear)]
+
+    params = init_two_part_mapping_network_legacy(
+        jax.random.PRNGKey(0), latent_dim=16, map_hidden_dim=32,
+        implicit_output_dim=8, superres_output_dim=24,
+        trunk_layers=2, branch_layers=2, normalize=True)
+    for ours, theirs in [(params["trunk"], linears(net.trunk_network)),
+                         (params["implicit"], linears(net.implicit_branch)),
+                         (params["superres"], linears(net.superres_branch))]:
+        assert len(ours) == len(theirs)
+        for p, m in zip(ours, theirs):
+            p["w"] = jnp.asarray(t2n(m.weight).T)
+            p["b"] = jnp.asarray(t2n(m.bias))
+
+    imp, sup = apply_two_part_mapping_network_legacy(params, jnp.asarray(t2n(z)))
+    np.testing.assert_allclose(np.asarray(imp), t2n(ref_imp), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sup), t2n(ref_sup), rtol=1e-4, atol=1e-5)
+
+
 def test_unet_discriminator_parity(ref_modules):
     """Full-forward parity: reference torch D vs our NHWC rebuild with the
     same weights."""

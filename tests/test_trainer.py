@@ -63,3 +63,53 @@ def test_trainer_runs_and_checkpoints(tmp_path_factory, tiny_config):
 
     trainer2.run(max_steps=4)
     assert trainer2.step == 4
+
+
+def test_curriculum_boundaries_lr_and_stage_switch(tmp_path_factory):
+    """Drive Trainer.run across (a) an lr-only int-key boundary (the
+    reference's 140k-style drop, ref configs/map3d.py:4-6) and (b) a
+    batch+resolution boundary that must rebuild the loader/step (ref
+    base_trainer.py:344-360), then resume across it."""
+    cfg = dict(configs.MAP3DBN_NANO)
+    cfg["name"] = "curriculum_test"
+    # Like the reference's shipped curricula (configs/map3d.py:4-6), the int
+    # keys change batch/lr only: a RESOLUTION change would invalidate the
+    # U-Net D's full-size bottleneck latent conv in the reference too (its
+    # kernel equals the bottleneck extent, unet_discriminators.py:117-118).
+    cfg[0] = {"batch_size": 2, "batch_split": 1, "gen_lr": 1e-4,
+              "disc_lr": 4e-4}
+    cfg[2] = {"batch_size": 2, "batch_split": 1, "gen_lr": 5e-5,
+              "disc_lr": 2e-4}                   # lr-only boundary
+    cfg[4] = {"batch_size": 4, "batch_split": 1, "gen_lr": 5e-5,
+              "disc_lr": 2e-4}                   # batch boundary -> rebuild
+    cfg[int(1e3 + 1)] = {}
+
+    out = str(tmp_path_factory.mktemp("curriculum"))
+    smpl = synthetic_smpl_model(num_verts=96, num_faces=64)
+    trainer = Trainer(0, 1, _opt(out), cfg, smpl_model=smpl)
+    assert trainer._cur_lr == (1e-4, 4e-4)
+    assert trainer.batch_size == 2
+
+    trainer.run(max_steps=3)
+    # crossed the lr boundary WITHOUT a stage rebuild
+    assert trainer.step == 3
+    assert trainer._cur_lr == (5e-5, 2e-4)
+    assert trainer.batch_size == 2
+    token_before = trainer._stage_token
+
+    trainer.run(max_steps=6)
+    # crossed the batch boundary: stage rebuilt, batch switched
+    assert trainer.step == 6
+    assert trainer.batch_size == 4
+    assert trainer._stage_token > token_before
+    # the content-hashed stage meta never carries lr keys (no in-place
+    # mutation of the _META_CACHE-registered dict)
+    assert "gen_lr" not in trainer._stage_meta
+
+    # resume across the boundary lands in the correct stage
+    trainer2 = Trainer(0, 1, _opt(out), cfg, smpl_model=smpl)
+    assert trainer2.step == 6
+    trainer2.run(max_steps=7)
+    assert trainer2.step == 7
+    assert trainer2.batch_size == 4
+    assert trainer2._cur_lr == (5e-5, 2e-4)

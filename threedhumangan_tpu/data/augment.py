@@ -182,14 +182,24 @@ def augment_pipe(images: jax.Array, rng: jax.Array, cfg: Dict, p) -> jax.Array:
     if cfg.get("rotate90", 0):
         do = gate(next(k), cfg["rotate90"])
         n = jax.random.randint(next(k), (B,), 0, 4)
-        r1 = jnp.rot90(images, 1, axes=(1, 2)) if H == W else images
-        r2 = jnp.rot90(images, 2, axes=(1, 2))
         if H == W:
-            r3 = jnp.rot90(images, 3, axes=(1, 2))
-            rot = jnp.stack([images, r1, r2, r3], axis=1)
-            sel = jnp.take_along_axis(rot, n[:, None, None, None, None], axis=1)[:, 0]
+            src = images
+            py = px = 0
         else:
-            sel = jnp.where((n[:, None, None, None] % 2) == 0, images, r2)
+            # non-square inputs (SHHQ is 2:1): pad to square, rotate, crop
+            # back — all four rotations stay admissible instead of silently
+            # degrading to {0, 180} (the reference AugmentPipe assumes
+            # square inputs).  90/270 crop rotated content at the long
+            # edges; that is inherent to fixed-shape rotation.
+            side = max(H, W)
+            py, px = (side - H) // 2, (side - W) // 2
+            src = jnp.pad(
+                images, ((0, 0), (py, side - H - py), (px, side - W - px), (0, 0)))
+        rot = jnp.stack([src] + [jnp.rot90(src, i, axes=(1, 2)) for i in (1, 2, 3)],
+                        axis=1)
+        sel = jnp.take_along_axis(rot, n[:, None, None, None, None], axis=1)[:, 0]
+        if H != W:
+            sel = sel[:, py:py + H, px:px + W, :]
         images = jnp.where(do[:, None, None, None], sel, images)
 
     # ---- geometric warp (one composed affine) ----

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from threedhumangan_tpu.ops.bias_act import bias_act
 from threedhumangan_tpu.utils.misc import (
     kaiming_normal_leaky,
+    kaiming_normal_linear,
     normalize_2nd_moment,
     uniform_init,
 )
@@ -56,6 +57,91 @@ def apply_mapping_network(params: Dict, z: jax.Array, compute_dtype=jnp.float32)
             x = jnp.where(x >= 0, x, 0.2 * x)
     half = x.shape[-1] // 2
     return x[..., :half], x[..., half:]
+
+
+# ---------------------------------------------------------------------------
+# TwoPartMappingNetwork_ (legacy, plain-linear variant; ref :44-89 — dead in
+# the reference live path, kept for public-surface parity)
+# ---------------------------------------------------------------------------
+
+
+def init_two_part_mapping_network_legacy(
+    key,
+    latent_dim: int,
+    map_hidden_dim: int,
+    implicit_output_dim: int,
+    superres_output_dim: int,
+    trunk_layers: int = 4,
+    branch_layers: int = 4,
+    normalize: bool = False,
+) -> Dict:
+    """Legacy ``TwoPartMappingNetwork_`` (ref mapping_networks.py:44-89):
+    plain kaiming-init linears (no equalized lr), trunk of
+    ``trunk_layers + 1`` lrelu layers, two branches of ``branch_layers``
+    layers; the implicit branch's final weight is scaled by 0.25."""
+    n_trunk = trunk_layers + 1
+    keys = jax.random.split(key, n_trunk + 2 * branch_layers)
+    ki = 0
+
+    def linear(k, din, dout, linear_init=False):
+        kw, kb = jax.random.split(k)
+        if linear_init:
+            w = kaiming_normal_linear(kw, (din, dout), fan_in=din)
+        else:
+            w = kaiming_normal_leaky(kw, (din, dout), fan_in=din)
+        b = uniform_init(kb, (dout,), 1.0 / math.sqrt(din))
+        return {"w": w, "b": b}
+
+    trunk = []
+    dims = [latent_dim] + [map_hidden_dim] * n_trunk
+    for i in range(n_trunk):
+        trunk.append(linear(keys[ki], dims[i], dims[i + 1]))
+        ki += 1
+
+    implicit = []
+    idims = [map_hidden_dim] * branch_layers + [implicit_output_dim]
+    for i in range(branch_layers):
+        p = linear(keys[ki], idims[i], idims[i + 1])
+        ki += 1
+        if i == branch_layers - 1:
+            p["w"] = p["w"] * 0.25  # ref :67-68
+        implicit.append(p)
+
+    superres = []
+    sdims = [map_hidden_dim] * branch_layers + [superres_output_dim]
+    for i in range(branch_layers):
+        # ref :76: the superres branch uses kaiming *linear* init throughout
+        superres.append(linear(keys[ki], sdims[i], sdims[i + 1], linear_init=True))
+        ki += 1
+
+    return {"trunk": trunk, "implicit": implicit, "superres": superres,
+            "normalize": jnp.asarray(normalize)}
+
+
+def apply_two_part_mapping_network_legacy(
+    params: Dict, z: jax.Array, compute_dtype=jnp.float32
+) -> Tuple[jax.Array, jax.Array]:
+    """Forward of the legacy network (ref :81-89).  Trunk layers all end in
+    lrelu; branch layers lrelu except the last (linear)."""
+
+    def lrelu(x):
+        return jnp.where(x >= 0, x, 0.2 * x)
+
+    def run(layers, x, final_linear):
+        n = len(layers)
+        for i, layer in enumerate(layers):
+            x = jnp.dot(x.astype(compute_dtype), layer["w"].astype(compute_dtype),
+                        preferred_element_type=jnp.float32) + layer["b"]
+            if not (final_linear and i == n - 1):
+                x = lrelu(x)
+        return x
+
+    x = z.astype(jnp.float32)
+    x = jnp.where(params["normalize"], normalize_2nd_moment(x), x)
+    x = run(params["trunk"], x, final_linear=False)
+    implicit_styles = run(params["implicit"], x, final_linear=True)
+    superres_styles = run(params["superres"], x, final_linear=True)
+    return implicit_styles, superres_styles
 
 
 # ---------------------------------------------------------------------------

@@ -86,7 +86,14 @@ def ray_integration(
     if white_back:
         features_final = features_final + 1.0 - weights_sum
 
-    if fill_mode == "weight":
+    if fill_mode == "debug":
+        # paint low-opacity rays red (ref volume_rendering.py:49-51); only
+        # the first 3 channels carry the debug color, matching the
+        # reference's 3-channel assignment
+        red = jnp.zeros_like(features_final).at[..., 0].set(1.0)
+        hollow = weights_sum < 0.9
+        features_final = jnp.where(hollow, red, features_final)
+    elif fill_mode == "weight":
         features_final = jnp.broadcast_to(weights_sum, features_final.shape)
 
     return features_final, depth_final, weights
@@ -126,6 +133,44 @@ def get_initial_rays_weak_perspective(
     z_vals = z_vals + (focals / scales).reshape(batch_size, 1, 1, 1)
 
     points = rays_d_cam[:, :, None, :] * z_vals
+    return points, z_vals, rays_d_cam
+
+
+def get_initial_rays_trig(
+    n: int,
+    num_steps: int,
+    fov: float,
+    resolution: Tuple[int, int],
+    ray_start: float,
+    ray_end: float,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Pinhole-camera rays from a field of view in degrees (ref :60-83).
+
+    Part of the public surface (dead in the reference live path — the live
+    model uses the weak-perspective variant).  Returns
+    (points (n, W*H, steps, 3), z_vals (n, W*H, steps, 1), rays_d_cam).
+    """
+    import math
+
+    W, H = resolution
+    span = W / H
+    xs = jnp.linspace(-span, span, W, dtype=jnp.float32)
+    ys = jnp.linspace(-1.0, 1.0, H, dtype=jnp.float32)
+    grid_y, grid_x = jnp.meshgrid(ys, xs, indexing="ij")  # (H, W)
+    x = grid_x.reshape(-1)
+    y = grid_y.reshape(-1)
+    focal = 1.0 / math.tan(math.pi * (fov / 180.0) / 2.0)
+    z = jnp.full_like(x, focal)
+
+    rays_d_cam = normalize_vecs(jnp.stack([x, y, z], axis=-1))  # (W*H, 3)
+
+    z_vals = jnp.linspace(ray_start, ray_end, num_steps, dtype=jnp.float32)
+    z_vals = jnp.broadcast_to(z_vals.reshape(1, num_steps, 1), (W * H, num_steps, 1))
+    points = rays_d_cam[:, None, :] * z_vals
+
+    points = jnp.broadcast_to(points[None], (n,) + points.shape)
+    z_vals = jnp.broadcast_to(z_vals[None], (n,) + z_vals.shape)
+    rays_d_cam = jnp.broadcast_to(rays_d_cam[None], (n,) + rays_d_cam.shape)
     return points, z_vals, rays_d_cam
 
 

@@ -112,6 +112,15 @@ def _upfirdn2d_conv(x, f, up, down, padding, flip_filter):
     downx, downy = down
     padx0, padx1, pady0, pady1 = padding
 
+    if min(padx0, padx1, pady0, pady1) < 0:
+        # Negative padding = crop applied BEFORE the filter (reference
+        # `_upfirdn2d_ref` order, upfirdn2d.py:188-193).  Crop interacts
+        # with both the zero-stuffing and the downsample stride, so this
+        # path materializes the reference's upsampled intermediate
+        # explicitly.  Nothing on the live model path uses negative pads
+        # (only AugmentPipe's geometric branch can); correctness over speed.
+        return _upfirdn2d_explicit(x, f, up, down, padding, flip_filter)
+
     if not flip_filter:
         f = jnp.flip(f, axis=(0, 1))
     fh, fw = f.shape
@@ -121,13 +130,6 @@ def _upfirdn2d_conv(x, f, up, down, padding, flip_filter):
     # zeros into the trailing pad.
     pady1 = pady1 + upy - 1
     padx1 = padx1 + upx - 1
-
-    # Negative padding = crop; XLA conv padding must be >= 0 in some lowering
-    # paths, so split crop out explicitly.
-    crop_y0, crop_y1 = max(-pady0, 0), max(-pady1, 0)
-    crop_x0, crop_x1 = max(-padx0, 0), max(-padx1, 0)
-    pady0, pady1 = max(pady0, 0), max(pady1, 0)
-    padx0, padx1 = max(padx0, 0), max(padx1, 0)
 
     kernel = jnp.tile(f.astype(x.dtype)[:, :, None, None], (1, 1, 1, C))
     y = jax.lax.conv_general_dilated(
@@ -143,15 +145,48 @@ def _upfirdn2d_conv(x, f, up, down, padding, flip_filter):
         # conv precision is bf16.
         precision=jax.lax.Precision.HIGHEST,
     )
-    if crop_y0 or crop_y1 or crop_x0 or crop_x1:
-        # cropping interacts with stride; apply crop pre-conv is complex, so
-        # emulate by slicing the strided output where exact, else recompute.
-        # For correctness with arbitrary negative pads, slice the dilated
-        # input path instead:
-        raise NotImplementedError(
-            "negative upfirdn2d padding with down-sampling is not used by the "
-            "live model path; pad inputs explicitly instead"
-        )
+    return y
+
+
+def _upfirdn2d_explicit(x, f, up, down, padding, flip_filter):
+    """Reference-order upfirdn2d with materialized zero-stuffing: upsample
+    (trailing zeros included) -> pad/crop -> filter -> stride-downsample
+    (`_upfirdn2d_ref`, reference upfirdn2d.py:166-210)."""
+    B, H, W, C = x.shape
+    upx, upy = up
+    downx, downy = down
+    padx0, padx1, pady0, pady1 = padding
+
+    fh, fw = f.shape
+    upW = W * upx + padx0 + padx1
+    upH = H * upy + pady0 + pady1
+    assert upW >= fw and upH >= fh, "upsampled buffer smaller than the filter"
+
+    # zero-stuff, trailing zeros included (ref :183-186)
+    y = jnp.zeros((B, H, upy, W, upx, C), x.dtype)
+    y = y.at[:, :, 0, :, 0, :].set(x)
+    y = y.reshape(B, H * upy, W * upx, C)
+
+    # pad then crop (ref :189-190)
+    y = jnp.pad(y, ((0, 0),
+                    (max(pady0, 0), max(pady1, 0)),
+                    (max(padx0, 0), max(padx1, 0)),
+                    (0, 0)))
+    y = y[:, max(-pady0, 0): y.shape[1] - max(-pady1, 0),
+          max(-padx0, 0): y.shape[2] - max(-padx1, 0), :]
+
+    if not flip_filter:
+        f = jnp.flip(f, axis=(0, 1))
+    kernel = jnp.tile(f.astype(x.dtype)[:, :, None, None], (1, 1, 1, C))
+    # VALID conv with stride == full conv then slice [::down] (ref :205-209)
+    y = jax.lax.conv_general_dilated(
+        y, kernel,
+        window_strides=(downy, downx),
+        padding="VALID",
+        feature_group_count=C,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST,
+    )
     return y
 
 

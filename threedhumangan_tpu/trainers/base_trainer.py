@@ -74,8 +74,14 @@ class Trainer:
         self.step = 0
         self._meta_cache_step: Optional[int] = None
         self._stage_meta: Optional[Dict] = None
+        self._stage_token = 0  # bumped by _build_stage; run() watches it
 
-        key = jax.random.PRNGKey(getattr(opt, "seed", 0) + rank)
+        # SPMD: every process must pass IDENTICAL step keys to the global
+        # jit (per-replica diversity comes from fold_in(axis_index) inside
+        # the sharded step — the SPMD form of the reference's per-rank
+        # seeding, ref apps/train.py:70-72); rank-dependent host seeds
+        # would make multi-host programs diverge
+        key = jax.random.PRNGKey(getattr(opt, "seed", 0))
         self.rng, init_key = jax.random.split(key)
         self.ts: TrainState = init_train_state(init_key, self.meta)
 
@@ -98,6 +104,7 @@ class Trainer:
 
     def _build_stage(self, meta: Dict):
         """(ref run :344-360): rebuild loader + preprocessor on stage change."""
+        self._stage_token += 1
         self.proc_batch_size = meta["batch_size"] // self.world_size
         self.batch_size = meta["batch_size"]
         self.gen_height, self.gen_width = meta["gen_height"], meta["gen_width"]
@@ -108,6 +115,13 @@ class Trainer:
             smpl_model=self.smpl_model, **kwargs)
         self._stage_meta = dict(meta)
         self._stage_meta.pop("nerf_noise", None)
+        # lrs are traced args of the train step, NOT part of the compiled
+        # program: keep them out of the content-hashed stage meta entirely
+        # (mutating the registered dict in place would silently change its
+        # _META_CACHE/_MESH_PAIR_CACHE identity)
+        self._cur_lr = (meta.get("gen_lr", 0.0), meta.get("disc_lr", 0.0))
+        self._stage_meta.pop("gen_lr", None)
+        self._stage_meta.pop("disc_lr", None)
         # geo features are stop-gradient data prep, so the Pallas 1-NN kernel
         # is usable in training whenever a real accelerator is present; the
         # fused ray-march likewise serves every no-grad forward (D-step fakes)
@@ -123,10 +137,32 @@ class Trainer:
         # SPMD mesh over all local devices whose count divides the per-proc
         # batch (TPU-native DDP, ref base_trainer.py:102-104): the batch axis
         # shards over 'data', grads/BN moments reduce over ICI
-        ndev = jax.local_device_count()
-        n_data = max(n for n in range(1, ndev + 1)
-                     if self.proc_batch_size % n == 0)
+        n_proc = jax.process_count()
+        if n_proc > 1:
+            # multi-host SPMD (replaces the reference's multi-node NCCL,
+            # ref apps/train.py:57): one global mesh over every process's
+            # devices; each process feeds its rank's rows via
+            # make_array_from_process_local_data (parallel/mesh.shard_batch)
+            n_data = jax.device_count()
+            if self.batch_size % n_data:
+                raise ValueError(
+                    f"multi-host runs need batch_size % device_count == 0 "
+                    f"(batch {self.batch_size}, devices {n_data})")
+        else:
+            ndev = jax.local_device_count()
+            n_data = max(n for n in range(1, ndev + 1)
+                         if self.proc_batch_size % n == 0)
+        prev_mesh = getattr(self, "mesh", None)
         self.mesh = create_mesh(n_data=n_data)
+        if self.ts is not None and (n_proc > 1 or
+                                    (prev_mesh is not None and prev_mesh != self.mesh)):
+            # a batch boundary can change the mesh extent (e.g. 2 -> 4
+            # devices): the live train state is still committed to the old
+            # device set, and jit refuses mixed-device arguments — reshard
+            # it (replicated) onto the new mesh.  Multi-host always places
+            # here: single-device arrays are not globally addressable.
+            from threedhumangan_tpu.parallel.mesh import replicate
+            self.ts = replicate(self.ts, self.mesh)
         self.train_step = make_mesh_train_pair(
             self.mesh, self.preprocessor, self._stage_meta)
 
@@ -138,9 +174,11 @@ class Trainer:
                 or meta["gen_height"] != self.gen_height
                 or meta["gen_width"] != self.gen_width):
             self._build_stage(meta)
-        # reuse the SAME dict object per stage so jit never re-traces
-        for k in ("gen_lr", "disc_lr"):
-            self._stage_meta[k] = meta[k]
+        # reuse the SAME dict object per stage so jit never re-traces; lr
+        # changes at int-key boundaries (e.g. the 140k-step drop) flow
+        # through self._cur_lr as traced data — no retrace, no mutation of
+        # the content-hashed stage meta
+        self._cur_lr = (meta["gen_lr"], meta["disc_lr"])
         return self._stage_meta
 
     # -- ADA controller (ref reset_augment/update_augment :133-145) ------------
@@ -244,12 +282,18 @@ class Trainer:
                 break
             from threedhumangan_tpu.data.prefetch import prefetch
 
+            stage_token = self._stage_token
             for data in prefetch(self.loader_fn(seed=epoch, shuffle=True)):
                 meta = self._meta_for_step(self.step)
                 if meta is None:
                     if self.rank == 0:
                         self.save()
                     return
+                if self._stage_token != stage_token:
+                    # batch/resolution curriculum boundary: the in-flight
+                    # loader yields stale-shaped batches — restart the data
+                    # loop on the rebuilt loader (ref run :344-360)
+                    break
                 if max_steps is not None and self.step >= max_steps:
                     if self.rank == 0:
                         self.save()
@@ -263,7 +307,7 @@ class Trainer:
                 self.rng, step_key = jax.random.split(self.rng)
                 self.ts, stats = self.train_step(
                     self.ts, batch, step_key, phase,
-                    lr_g=meta["gen_lr"], lr_d=meta["disc_lr"],
+                    lr_g=self._cur_lr[0], lr_d=self._cur_lr[1],
                     nerf_noise=nerf_noise, ada_p=self.ada_p)
                 self.step += 1
 

@@ -51,11 +51,56 @@ def export_vgg16_npz(out_path: str, state_dict=None) -> int:
     return len(conv_feature_idx)
 
 
+def export_inception_npz(out_path: str, state_dict=None) -> int:
+    """Convert a torchvision ``inception_v3`` state_dict to the BN-folded
+    npz layout of ``utils.inception`` (point ``INCEPTION_WEIGHTS_NPZ`` at
+    the output to get real Inception-pool3 FID).
+
+    BatchNorm (eps=0.001, affine) folds into each conv at export:
+      w' = w * gamma / sqrt(var + eps)   (per output channel)
+      b' = beta - mean * gamma / sqrt(var + eps)
+    so the JAX forward is pure conv+relu (inference extractor).
+
+    Args:
+      state_dict: mapping with torchvision keys
+        (``<module>.conv.weight`` OIHW, ``<module>.bn.{weight,bias,
+        running_mean,running_var}``).  When None, loads
+        ``torchvision.models.inception_v3(weights="IMAGENET1K_V1")`` —
+        requires the checkpoint cached locally or network egress.
+
+    Returns the number of convs exported (94).
+    """
+    from threedhumangan_tpu.utils.inception import BN_EPS, CONV_TABLE
+
+    if state_dict is None:
+        from torchvision.models import inception_v3
+
+        state_dict = inception_v3(weights="IMAGENET1K_V1").state_dict()
+
+    out = {}
+    for name, *_ in CONV_TABLE:
+        w = np.asarray(state_dict[f"{name}.conv.weight"], np.float64)  # OIHW
+        gamma = np.asarray(state_dict[f"{name}.bn.weight"], np.float64)
+        beta = np.asarray(state_dict[f"{name}.bn.bias"], np.float64)
+        mean = np.asarray(state_dict[f"{name}.bn.running_mean"], np.float64)
+        var = np.asarray(state_dict[f"{name}.bn.running_var"], np.float64)
+        scale = gamma / np.sqrt(var + BN_EPS)
+        w = w * scale[:, None, None, None]
+        b = beta - mean * scale
+        out[name + ".w"] = w.transpose(2, 3, 1, 0).astype(np.float32)  # HWIO
+        out[name + ".b"] = b.astype(np.float32)
+    np.savez(out_path, **out)
+    return len(CONV_TABLE)
+
+
 def main(argv):
-    if len(argv) != 3 or argv[1] not in ("vgg16",):
+    if len(argv) != 3 or argv[1] not in ("vgg16", "inception"):
         print(__doc__)
         return 1
-    n = export_vgg16_npz(argv[2])
+    if argv[1] == "vgg16":
+        n = export_vgg16_npz(argv[2])
+    else:
+        n = export_inception_npz(argv[2])
     print(f"exported {n} convs to {argv[2]}")
     return 0
 

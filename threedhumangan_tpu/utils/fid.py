@@ -56,23 +56,81 @@ def frechet_distance(mu1, sigma1, mu2, sigma2) -> float:
     return float(diff @ diff + np.trace(sigma1) + np.trace(sigma2) - 2.0 * np.trace(inner))
 
 
-def extract_features(images, convs=None, batch_size: int = 16) -> np.ndarray:
-    """images: (N, H, W, 3) in [-1, 1] -> pooled feature matrix (N, D)."""
-    from threedhumangan_tpu.trainers.perceptual import init_vgg16_features, vgg16_features
+def get_extractor(kind: str = "auto"):
+    """Resolve the feature extractor.
 
-    if convs is None:
-        convs = init_vgg16_features()
+    ``kind``: 'inception' (requires ``INCEPTION_WEIGHTS_NPZ``),
+    'inception-random' (fixed random weights — deterministic two-sample
+    discrepancy, NOT comparable to published FID), 'vgg' (VGG16, real if
+    ``VGG16_WEIGHTS_NPZ`` set else fixed-random), or 'auto' (inception if
+    its npz is present, else vgg fallback).
 
-    @jax.jit
+    Returns (feats_fn(batch (B,H,W,3) in [-1,1]) -> (B,D), label).
+    """
+    import os
+
+    inception_npz = os.environ.get("INCEPTION_WEIGHTS_NPZ", "")
+    if kind == "auto":
+        kind = "inception" if inception_npz and os.path.exists(inception_npz) else "vgg"
+
+    if kind in ("inception", "inception-random"):
+        from threedhumangan_tpu.utils.inception import (
+            inception_pool3,
+            init_random_inception,
+            load_inception_npz,
+        )
+
+        if kind == "inception":
+            if not (inception_npz and os.path.exists(inception_npz)):
+                raise FileNotFoundError(
+                    "kind='inception' needs INCEPTION_WEIGHTS_NPZ (export via "
+                    "utils.export_weights.export_inception_npz)")
+            params = load_inception_npz(inception_npz)
+            label = "Inception-pool3 (real weights): standard FID"
+        else:
+            params = init_random_inception()
+            label = ("Inception-pool3 topology, FIXED RANDOM weights: "
+                     "NOT Inception-FID")
+        return (lambda batch: inception_pool3(params, batch)), label
+
+    from threedhumangan_tpu.trainers.perceptual import (
+        init_vgg16_features,
+        vgg16_features,
+    )
+
+    convs = init_vgg16_features()
+    real = bool(os.environ.get("VGG16_WEIGHTS_NPZ", ""))
+    label = ("VGG16 features (real weights)" if real
+             else "VGG16 topology, FIXED RANDOM weights: NOT Inception-FID")
+
     def feats(batch):
         taps = vgg16_features(convs, batch * 0.5 + 0.5)
-        # global-average-pool the deepest tap
         return jnp.mean(taps[-1], axis=(1, 2))
+
+    return feats, label
+
+
+def extract_features(images, convs=None, batch_size: int = 16,
+                     kind: str = "auto") -> np.ndarray:
+    """images: (N, H, W, 3) in [-1, 1] -> pooled feature matrix (N, D).
+
+    ``kind='auto'`` uses real Inception-pool3 when INCEPTION_WEIGHTS_NPZ is
+    present (published-FID feature space) and the VGG16 stack otherwise."""
+    if convs is not None:
+        # explicit VGG conv stack (back-compat path used by eval_fid)
+        from threedhumangan_tpu.trainers.perceptual import vgg16_features
+
+        feats_raw = jax.jit(
+            lambda batch: jnp.mean(vgg16_features(convs, batch * 0.5 + 0.5)[-1],
+                                   axis=(1, 2)))
+    else:
+        feats_raw, _ = get_extractor(kind)
+        feats_raw = jax.jit(feats_raw)
 
     out = []
     images = np.asarray(images)
     for i in range(0, len(images), batch_size):
-        out.append(np.asarray(feats(jnp.asarray(images[i : i + batch_size]))))
+        out.append(np.asarray(feats_raw(jnp.asarray(images[i : i + batch_size]))))
     return np.concatenate(out, axis=0)
 
 

@@ -84,6 +84,60 @@ def positional_encoding(x: jax.Array, L: int = 10) -> jax.Array:
     return jnp.concatenate([jnp.sin(xb), jnp.cos(xb)], axis=-1)
 
 
+def perspective_projection(points: jax.Array, intrinsics: jax.Array,
+                           extrinsics: jax.Array) -> jax.Array:
+    """Project world points through extrinsics + intrinsics (reference
+    util.py:94-106; dead in the reference live path, public surface).
+
+    Args:
+      points: (B, N, 3); intrinsics: (B, 3, 3); extrinsics: (B, 4, 4).
+    Returns:
+      (B, N, 3) — xy perspective-divided, z kept.
+    """
+    cam = apply_transformation(points, extrinsics[:, None])
+    projected = jnp.einsum("bij,bnj->bni", intrinsics, cam)
+    xy = projected[..., :2] / (projected[..., 2:3] + 1e-12)
+    return jnp.concatenate([xy, projected[..., 2:3]], axis=-1)
+
+
+def skeleton_uvd_to_heatmap(uv: jax.Array, resolution, depth=None,
+                            sigma: float = 0.06) -> jax.Array:
+    """Gaussian joint heatmaps from normalized uv coords (reference
+    util.py:109-138).  Returns (B, J, H, W) in [0, 1], or (B, J, 2, H, W)
+    when ``depth`` (B, J) rides along."""
+    B, J, _ = uv.shape
+    width, height = resolution
+    span = width / height
+    gx = jnp.linspace(-span, span, width, dtype=uv.dtype)
+    gy = jnp.linspace(-1.0, 1.0, height, dtype=uv.dtype)
+    grid_y, grid_x = jnp.meshgrid(gy, gx, indexing="ij")  # (H, W)
+
+    dx = grid_x[None, None] - uv[:, :, 0, None, None]
+    dy = grid_y[None, None] - uv[:, :, 1, None, None]
+    heatmaps = jnp.exp(-0.5 * (dx * dx + dy * dy) / (sigma * sigma))
+
+    if depth is not None:
+        d = jnp.clip(depth, -1.0, 1.0)[:, :, None, None]
+        d = jnp.broadcast_to(d, heatmaps.shape)
+        heatmaps = jnp.stack([heatmaps, d], axis=2)
+    return heatmaps
+
+
+def visualize_heatmap(skeleton_uvd: jax.Array, resolution,
+                      depth_length: float) -> jax.Array:
+    """Depth-colored skeleton heatmap visualization (reference
+    util.py:141-156).  Returns (B, 3, H, W)."""
+    B, J, _ = skeleton_uvd.shape
+    depth = skeleton_uvd[..., 2:3] / (depth_length / 2.0)
+    heatmap = skeleton_uvd_to_heatmap(skeleton_uvd[..., :2], resolution)
+    base = 0.5 * math.pi
+    red = jnp.sin(base * depth) + 1.0
+    green = jnp.sin(-base * depth) + 1.0
+    blue = 0.5 * jnp.cos(base * depth) + 0.5
+    color = jnp.stack([red, green, blue], axis=2).reshape(B, J, 3, 1, 1)
+    return jnp.max(color * heatmap[:, :, None], axis=1)
+
+
 # ---------------------------------------------------------------------------
 # initializers  (semantics of lib/components/pigan_layers.py:17-60 and
 # torch.nn.init.kaiming_normal_, expressed as explicit samplers)

@@ -178,11 +178,12 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
         import torch
 
         obj = torch.load(path, map_location="cpu", weights_only=False)
-        if hasattr(obj, "state_dict"):
-            obj = obj.state_dict()
-        return {k: v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
-                for k, v in obj.items()}
-    except ImportError:
+    except Exception:
+        # torch missing, or the file is a plain pickle of an
+        # already-converted dict ("Invalid magic number")
         with open(path, "rb") as f:
             obj = pickle.load(f)
-        return {k: np.asarray(v) for k, v in obj.items()}
+    if hasattr(obj, "state_dict"):
+        obj = obj.state_dict()
+    return {k: v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+            for k, v in obj.items()}
