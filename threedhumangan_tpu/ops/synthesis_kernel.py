@@ -84,7 +84,7 @@ def fold_synthesis_params(params: Dict, state: Dict, syn_input_params: Dict,
 def _synthesis_kernel(
     *refs,
     weight_names, num_blocks, block_start, block_end, mod_blocks, map3d_mode,
-    tile_rows, width, height, compute_dtype, has_x_in,
+    tile_rows, width, height, compute_dtype, has_x_in, rank1_rows,
 ):
     """One fused stage covering blocks [block_start, block_end).
 
@@ -92,10 +92,19 @@ def _synthesis_kernel(
     exceeds the 16 MB VMEM budget, so the network runs as ceil(NB/5)
     stages; (x, rgb) round-trip HBM once per stage boundary — still ~15x
     less traffic than the per-op XLA formulation.
+
+    ``rank1_rows`` maps blocks whose style input is the FIXED (per-image)
+    vector to row offsets in the precomputed ``gab`` table: for those
+    blocks the whole SPADE MLP collapses to per-channel (ga, gb) rows
+    (isolated/mixed modes run 6 of 9 blocks this way in the shipped
+    configs — computing the MLP per pixel on broadcast rows wasted ~1/3
+    of the kernel's FLOPs).
     """
     idx0 = 0
     style_ref = refs[idx0]; idx0 += 1
     fixed_ref = refs[idx0]; idx0 += 1
+    if rank1_rows:
+        gab_ref = refs[idx0]; idx0 += 1
     if has_x_in:
         x_in_ref = refs[idx0]; idx0 += 1
         rgb_in_ref = refs[idx0]; idx0 += 1
@@ -133,12 +142,15 @@ def _synthesis_kernel(
     fixed = fixed_ref[0].astype(compute_dtype)  # (1, F)
 
     for i in range(block_start, block_end):
-        if map3d_mode == "all":
+        rank1 = i in rank1_rows
+        if rank1:
+            in_style = None
+        elif map3d_mode == "all":
             in_style = style + fixed
         elif map3d_mode == "mixed":
-            in_style = (style + fixed) if i in mod_blocks else jnp.broadcast_to(fixed, style.shape)
+            in_style = style + fixed
         elif map3d_mode == "isolated":
-            in_style = style if i in mod_blocks else jnp.broadcast_to(fixed, style.shape)
+            in_style = style
         else:
             raise ValueError(map3d_mode)
 
@@ -148,15 +160,23 @@ def _synthesis_kernel(
             # stack allocator does not reuse buffers across the unrolled
             # block iterations, so f32 temporaries overflow VMEM
             cd = compute_dtype
-            a = W[f"b{i}_sp{si}_norm_a"].astype(cd)
-            b = W[f"b{i}_sp{si}_norm_b"].astype(cd)
-            normed = x * a + b
-            actv = jnp.maximum(
-                mm(in_style, W[f"b{i}_sp{si}_sh_w"]) + W[f"b{i}_sp{si}_sh_b"], 0.0
-            ).astype(cd)
-            gamma = (1.0 + mm(actv, W[f"b{i}_sp{si}_g_w"]) + W[f"b{i}_sp{si}_g_b"]).astype(cd)
-            beta = (mm(actv, W[f"b{i}_sp{si}_bt_w"]) + W[f"b{i}_sp{si}_bt_b"]).astype(cd)
-            x = _LRELU(normed * gamma + beta).astype(cd)
+            if rank1:
+                # fixed-style block: norm affine + SPADE gamma/beta fold
+                # into two per-channel rows (precomputed outside)
+                row = rank1_rows[i] + 2 * si
+                ga = gab_ref[0, row : row + 1, :].astype(cd)
+                gb = gab_ref[0, row + 1 : row + 2, :].astype(cd)
+                x = _LRELU(x * ga + gb).astype(cd)
+            else:
+                a = W[f"b{i}_sp{si}_norm_a"].astype(cd)
+                b = W[f"b{i}_sp{si}_norm_b"].astype(cd)
+                normed = x * a + b
+                actv = jnp.maximum(
+                    mm(in_style, W[f"b{i}_sp{si}_sh_w"]) + W[f"b{i}_sp{si}_sh_b"], 0.0
+                ).astype(cd)
+                gamma = (1.0 + mm(actv, W[f"b{i}_sp{si}_g_w"]) + W[f"b{i}_sp{si}_g_b"]).astype(cd)
+                beta = (mm(actv, W[f"b{i}_sp{si}_bt_w"]) + W[f"b{i}_sp{si}_bt_b"]).astype(cd)
+                x = _LRELU(normed * gamma + beta).astype(cd)
             x = (mm(x, W[f"b{i}_conv{si}_w"]) + W[f"b{i}_conv{si}_b"]).astype(cd)
 
         if i >= num_blocks // 2 and x.shape[-1] == x_orig.shape[-1]:
@@ -204,12 +224,44 @@ def fused_synthesis(
         for n, w in d.items()
     }
 
+    # Blocks whose style input is the per-image FIXED vector (isolated /
+    # mixed non-mod blocks): their SPADE MLP output is rank-1 over pixels,
+    # so gamma/beta collapse to per-channel rows computed here (XLA, a few
+    # (B, 128) matmuls) instead of per-pixel in the kernel — at the shipped
+    # mod_blocks=(0,1,2) of 9 this removes ~1/3 of the kernel's FLOPs and
+    # the rank-1 blocks' MLP weights from VMEM.
+    rank1_blocks = ([] if map3d_mode == "all" else
+                    [i for i in range(num_blocks) if i not in mod_blocks])
+    rank1_rows = {i: 4 * k for k, i in enumerate(rank1_blocks)}
+    gab = None
+    if rank1_blocks:
+        fx = fixed_style.reshape(B, -1).astype(compute_dtype)
+        rows = []
+        for i in rank1_blocks:
+            for si in (0, 1):
+                actv = jnp.maximum(
+                    fx @ folded[f"b{i}_sp{si}_sh_w"].astype(compute_dtype)
+                    + folded[f"b{i}_sp{si}_sh_b"], 0.0).astype(compute_dtype)
+                gamma = (1.0 + actv @ folded[f"b{i}_sp{si}_g_w"].astype(compute_dtype)
+                         + folded[f"b{i}_sp{si}_g_b"])
+                beta = (actv @ folded[f"b{i}_sp{si}_bt_w"].astype(compute_dtype)
+                        + folded[f"b{i}_sp{si}_bt_b"])
+                a = folded[f"b{i}_sp{si}_norm_a"]
+                b = folded[f"b{i}_sp{si}_norm_b"]
+                rows.append(a * gamma)              # ga: x * (a * gamma)
+                rows.append(b * gamma + beta)       # gb
+        gab = jnp.stack(rows, axis=1).astype(jnp.float32)  # (B, n_rows, hidden)
+
     grid = (B, H // tile_rows)
     base_specs = [
         pl.BlockSpec((1, tile_rows, Wd, F), lambda b, t: (b, t, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, F), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
     ]
+    if gab is not None:
+        base_specs.append(
+            pl.BlockSpec((1, gab.shape[1], hidden), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM))
     x_spec = pl.BlockSpec((1, tile_rows, Wd, hidden), lambda b, t: (b, t, 0, 0),
                           memory_space=pltpu.VMEM)
     rgb_spec = pl.BlockSpec((1, tile_rows, Wd, 3), lambda b, t: (b, t, 0, 0),
@@ -221,9 +273,19 @@ def fused_synthesis(
 
     for start in range(0, num_blocks, blocks_per_stage):
         end = min(start + blocks_per_stage, num_blocks)
-        stage = {n: w for n, w in folded.items()
-                 if n.startswith("in_") and start == 0
-                 or any(n.startswith(f"b{i}_") for i in range(start, end))}
+
+        def _needed(n):
+            if n.startswith("in_"):
+                return start == 0
+            blk = int(n[1:].split("_", 1)[0])
+            if not (start <= blk < end):
+                return False
+            # rank-1 blocks read only their conv + rgb weights
+            if blk in rank1_rows and ("_sp" in n):
+                return False
+            return True
+
+        stage = {n: w for n, w in folded.items() if _needed(n)}
         stage = cast(stage)
         names = tuple(sorted(stage))
         has_x_in = start > 0
@@ -234,18 +296,23 @@ def fused_synthesis(
             block_start=start, block_end=end,
             mod_blocks=tuple(mod_blocks), map3d_mode=map3d_mode,
             tile_rows=tile_rows, width=Wd, height=H,
-            compute_dtype=compute_dtype, has_x_in=has_x_in)
+            compute_dtype=compute_dtype, has_x_in=has_x_in,
+            rank1_rows=rank1_rows)
 
         in_specs = list(base_specs)
         args = [style_map, fixed_style]
+        if gab is not None:
+            args.append(gab)
         if has_x_in:
             in_specs += [x_spec, rgb_spec]
             args += [x, rgb]
         in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in names]
         args += [stage[n] for n in names]
 
+        n_mod = sum(1 for i in range(start, end) if i not in rank1_rows)
         n_stage = end - start
-        flops_px = n_stage * 2 * 2 * (hidden * 128 + 128 * hidden * 2 + hidden * hidden)
+        flops_px = (n_stage * 2 * 2 * hidden * hidden
+                    + n_mod * 2 * 2 * (hidden * 128 + 128 * hidden * 2))
         x, rgb = pl.pallas_call(
             kernel,
             grid=grid,
