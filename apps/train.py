@@ -50,10 +50,20 @@ def main():
         jax.config.update("jax_platforms", opt.platform)
 
     # multi-host: initialize the JAX distributed runtime when launched under
-    # a multi-process TPU environment (replaces dist.init_process_group,
-    # ref apps/train.py:57)
-    if int(os.environ.get("TPU_WORKER_COUNT", os.environ.get("NUM_PROCESSES", "1"))) > 1:
-        jax.distributed.initialize()
+    # a multi-process environment (replaces dist.init_process_group,
+    # ref apps/train.py:57).  On TPU pods the coordinator auto-detects from
+    # the TPU metadata; elsewhere (tests, CPU clusters) COORDINATOR_ADDRESS/
+    # NUM_PROCESSES/PROCESS_ID pin it explicitly.
+    n_proc = int(os.environ.get("TPU_WORKER_COUNT",
+                                os.environ.get("NUM_PROCESSES", "1")))
+    if n_proc > 1:
+        coord = os.environ.get("COORDINATOR_ADDRESS")
+        if coord:
+            jax.distributed.initialize(
+                coordinator_address=coord, num_processes=n_proc,
+                process_id=int(os.environ["PROCESS_ID"]))
+        else:
+            jax.distributed.initialize()
 
     rank = jax.process_index()
     world_size = jax.process_count()

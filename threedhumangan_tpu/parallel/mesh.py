@@ -36,19 +36,46 @@ def create_mesh(
 
 
 def shard_batch(batch: Dict, mesh: Mesh) -> Dict:
-    """Place a host batch with the leading axis sharded over 'data'."""
-    sharding = NamedSharding(mesh, P("data"))
+    """Place a host batch with the leading axis sharded over 'data'.
+
+    Single-process: plain ``device_put``.  Multi-process (the mesh spans
+    hosts, ref multi-node NCCL at apps/train.py:57): each process holds its
+    rank's PER-PROCESS rows (the rank-sharded loader), assembled into one
+    global array with ``jax.make_array_from_process_local_data`` — process
+    p's rows land on its addressable slice of the 'data' axis, so the DCN
+    never moves batch data.
+    """
+    data_sharding = NamedSharding(mesh, P("data"))
+    rep_sharding = NamedSharding(mesh, P())
+    n_proc = jax.process_count()
 
     def put(x):
         if hasattr(x, "ndim") and x.ndim >= 1:
-            return jax.device_put(x, sharding)
-        return jax.device_put(x, NamedSharding(mesh, P()))
+            if n_proc > 1:
+                local = np.asarray(x)
+                gshape = (local.shape[0] * n_proc,) + local.shape[1:]
+                return jax.make_array_from_process_local_data(
+                    data_sharding, local, global_shape=gshape)
+            return jax.device_put(x, data_sharding)
+        if n_proc > 1:
+            return jax.make_array_from_process_local_data(
+                rep_sharding, np.asarray(x))
+        return jax.device_put(x, rep_sharding)
 
     return jax.tree.map(put, batch)
 
 
 def replicate(tree, mesh: Mesh):
-    return jax.device_put(tree, NamedSharding(mesh, P()))
+    """Fully-replicated placement of a pytree onto ``mesh`` — works across
+    processes (every process supplies the full value for its addressable
+    shards; values must already agree host-to-host, which holds for
+    deterministic init and checkpoint loads)."""
+    sharding = NamedSharding(mesh, P())
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), tree)
+    return jax.device_put(tree, sharding)
 
 
 def make_sharded_step(step_fn, mesh: Mesh, axis_name: str = "data"):
