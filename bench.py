@@ -65,6 +65,7 @@ def main():
     on_tpu = jax.default_backend() not in ("cpu",)
     meta["pallas_field"] = on_tpu
     meta["pallas_knn"] = on_tpu
+    meta["pallas_geo"] = on_tpu and os.environ.get("BENCH_PALLAS_GEO", "1") == "1"
     meta["pallas_synthesis"] = on_tpu
     meta["pallas_tile_rays"] = int(os.environ.get("BENCH_TILE_RAYS", "64"))
     if os.environ.get("BENCH_SYNTH_TILE"):

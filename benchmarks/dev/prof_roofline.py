@@ -123,6 +123,14 @@ def st_geo(i, c):
     return tick(g)
 stages["geo_features"] = st_geo
 
+# 3b. fused geo-features kernel (ops/geo.py)
+def st_geo_pallas(i, c):
+    g = get_geo_features(points0 + c, cond0["skeletons_xyz"], cond0["vertices"],
+                         cond0["tpose_vertices"], cond0["fk_matrices"],
+                         cond0["lbs_weights"], use_pallas_geo=True)
+    return tick(g)
+stages["geo_fused"] = st_geo_pallas
+
 # 4. pack (concat + transpose into kernel layout)
 def st_pack(i, c):
     pk = pack_field_inputs(points0 + c, geo0, dirs0, 2.0 / meta["side_length"])
@@ -144,14 +152,15 @@ def st_resize(i, c):
     return tick(up)
 stages["resize"] = st_resize
 
-# 7. synthesis kernel
-def st_synth(i, c):
-    r = fused_synthesis(folded0, up0 + c, styles0, num_blocks=meta["synthesis_blocks"],
+# 7. synthesis kernel (folded params threaded as jit args — as closure
+# consts they exceed the tunnel's remote-compile request size limit)
+def st_synth(i, c, folded, up, styles):
+    r = fused_synthesis(folded, up + c, styles, num_blocks=meta["synthesis_blocks"],
                         mod_blocks=tuple(meta["mod_blocks"]),
                         map3d_mode=meta.get("map3d_mode", "isolated"),
                         tile_rows=SYNTH_TILE, compute_dtype=jnp.bfloat16)
     return tick(r)
-stages["synthesis_kernel"] = st_synth
+stages["synthesis_kernel"] = (st_synth, (folded0, up0, styles0))
 
 # analytic bounds (v5e: ~197 TFLOP/s bf16 MXU, ~820 GB/s HBM)
 MXU = 197e12; BW = 820e9
@@ -172,7 +181,8 @@ total = 0.0
 for name, fn in stages.items():
     if only and name not in only:
         continue
-    per, chk = device_time(fn, n1=2, n2=8)
+    fn, extra_args = fn if isinstance(fn, tuple) else (fn, ())
+    per, chk = device_time(fn, n1=2, n2=8, args=extra_args)
     total += per
     bound = bounds.get(name)
     extra = f"  roofline {bound*1000:6.2f} ms ({bound/per*100:5.1f}% attained)" if bound else ""

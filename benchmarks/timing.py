@@ -23,23 +23,33 @@ import jax
 import jax.numpy as jnp
 
 
-def device_time(step: Callable, n1: int = 2, n2: int = 10, warmup: bool = True):
+def device_time(step: Callable, n1: int = 2, n2: int = 10, warmup: bool = True,
+                args: tuple = ()):
     """Measure per-iteration device time of ``step``.
 
     Args:
-      step: ``step(i, carry) -> new_carry`` where carry is a f32 scalar.
-        The implementation must fold ``carry`` into its inputs (e.g.
-        ``z + 1e-30 * carry``) so iterations serialize, and reduce its
-        output to a scalar.
+      step: ``step(i, carry, *args) -> new_carry`` where carry is a f32
+        scalar.  The implementation must fold ``carry`` into its inputs
+        (e.g. ``z + 1e-30 * carry``) so iterations serialize, and reduce
+        its output to a scalar.
       n1, n2: the two trip counts to difference.
+      args: arrays/pytrees passed as jit ARGUMENTS rather than captured in
+        the closure — anything large MUST ride here, or it is embedded as
+        an HLO constant and the tunnel's remote-compile request blows its
+        size limit (and compiles take tens of minutes).
 
     Returns:
       (seconds_per_iteration, checksum)
     """
 
     @jax.jit
-    def run(n):
-        return jax.lax.fori_loop(0, n, step, jnp.float32(0.0))
+    def run(n, *a):
+        return jax.lax.fori_loop(
+            0, n, lambda i, c: step(i, c, *a), jnp.float32(0.0))
+
+    if args:
+        _inner = run
+        run = lambda n: _inner(n, *args)
 
     if warmup:
         float(run(1))  # compile + warm caches

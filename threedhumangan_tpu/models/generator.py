@@ -194,7 +194,9 @@ def render(
             get_geo_features(points, skeletons, vertices, tpose_vertices,
                              fk_matrices, lbs_weights,
                              legacy_mode=meta.get("legacy_mode", False),
-                             use_pallas_knn=meta.get("pallas_knn", False)))
+                             use_pallas_knn=meta.get("pallas_knn", False),
+                             use_pallas_geo=meta.get("pallas_geo", False),
+                             interpret=meta.get("pallas_interpret", False)))
 
     if use_pallas:
         # fused Pallas ray-march: field + integration in VMEM per ray tile.

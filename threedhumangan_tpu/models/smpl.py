@@ -337,6 +337,8 @@ def get_geo_features(
     lbs_weights: jax.Array,
     legacy_mode: bool = False,
     use_pallas_knn: bool = False,
+    use_pallas_geo: bool = False,
+    interpret: bool = False,
 ) -> jax.Array:
     """Per-point 31-d geometric conditioning (ref smpl.py:210-249).
 
@@ -347,9 +349,21 @@ def get_geo_features(
     ``use_pallas_knn`` switches the 1-NN search to the fused Pallas kernel
     (ops/knn.nn_points_pallas) — safe even in training because the reference
     computes geo features under no_grad (ref map3d_generator.py:196).
+
+    ``use_pallas_geo`` runs the ENTIRE stage (1-NN + gather + inverse-FK
+    canonicalization + joint distances) as one vertex-major Pallas kernel
+    (ops/geo.py) — gathers never touch the TPU scalar unit.
     """
     B, P, _ = points.shape
     V = vertices.shape[1]
+
+    if use_pallas_geo:
+        from threedhumangan_tpu.ops.geo import (
+            build_vertex_features, geo_features_pallas)
+
+        vfeat = build_vertex_features(tpose_vertices, fk_matrices, lbs_weights)
+        return geo_features_pallas(points, vertices, vfeat, skeletons,
+                                   legacy_mode=legacy_mode, interpret=interpret)
 
     # joint distances, normalized (ref :216)
     diff = points[:, :, None, :] - skeletons[:, None, :, :]

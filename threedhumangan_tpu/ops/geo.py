@@ -1,0 +1,180 @@
+"""Standalone fused geo-features Pallas kernel (1-NN + gather + canonicalize).
+
+``models.smpl.get_geo_features`` (ref lib/components/smpl.py:210-249) is the
+per-point 31-d conditioning: distances to the 24 joints, inverse-FK
+canonicalized coords of the nearest SMPL vertex, that vertex's T-pose coords,
+and the nearest-vertex distance.  The XLA formulation pays a (B, P, 16+3)
+``knn_gather`` — TPU gathers run on the scalar unit and the stage measured
+44 ms/batch8 at MAP3DBN512L shapes (147k points/image), ~20% of the whole
+inference pipeline.
+
+This kernel runs the stage in VMEM tiles with a TRANSPOSED (vertex-major)
+layout, which is the part that matters:
+
+  * distances   d (Vp, T)  = |v|^2 - 2 (verts @ pts^T) + |p|^2
+  * 1-NN        argmin over the SUBLANE axis (iota rows + min algebra)
+  * gather      (19, T) = vfeat^T (19, Vp) @ onehot (Vp, T)  -- ONE MXU
+                matmul whose padded row count is 24, not the point tile's
+                128: the point-major form (onehot (T, Vp) @ vfeat (Vp, 19))
+                pads the 19 output columns to a full 128-lane tile and
+                wastes ~6.7x the MACs.
+  * canonicalization / joint distances as (rows, T) VPU algebra.
+
+Output is written vertex-major (B, 31, P) and transposed once in XLA (a
+146 MB stream at 512L shapes, ~0.4 ms) — everything else never leaves VMEM.
+
+All dots are f32: the ik entries feed omega=30 SIREN inputs downstream and
+the one-hot selection must be exact (tie-breaking = lowest index, torch
+``min`` semantics like pytorch3d knn_points).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+GEO_DIM = 31  # 3 cano + 24 joint dists + 3 tpose + 1 nearest dist
+
+
+def _geo_kernel(pts_ref, verts_ref, vsq_ref, vfeat_ref, skel_ref, ssq_ref,
+                out_ref, *, legacy_mode):
+    """One (3, T) tile of raw world points -> (31, T) geo features."""
+    f32 = jnp.float32
+    pts_t = pts_ref[0]        # (3, T) raw coords
+    verts = verts_ref[0]      # (Vp, 3); padded rows at 1e6 never win the 1-NN
+    vsq = vsq_ref[0]          # (Vp, 1)
+    vfeat_t = vfeat_ref[0]    # (19, Vp)
+    skel = skel_ref[0]        # (J, 3)
+    ssq = ssq_ref[0]          # (J, 1)
+
+    p_sq = jnp.sum(pts_t * pts_t, axis=0, keepdims=True)  # (1, T)
+
+    # joint distances (ref smpl.py:216), J rows
+    crossj = jax.lax.dot_general(skel, pts_t, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=f32)    # (J, T)
+    jd = jnp.sqrt(jnp.maximum(ssq - 2.0 * crossj + p_sq, 0.0) + 1e-12) / 2.4
+
+    # 1-NN over all vertices: (Vp, T) half-distance tile (ordering-equivalent
+    # to |v-p|^2; the ``2*cross`` multiply is folded into pre-halved vsq/psq
+    # host prep — this tile is the kernel's VPU bottleneck, every op counts),
+    # argmin over the sublane axis via iota + min algebra
+    cross = jax.lax.dot_general(verts, pts_t, (((1,), (0,)), ((), ())),
+                                preferred_element_type=f32)     # (Vp, T)
+    d = (vsq - cross) + 0.5 * p_sq
+    dmin = jnp.min(d, axis=0, keepdims=True)                    # (1, T)
+    rows = jax.lax.broadcasted_iota(jnp.int32, d.shape, 0)
+    arg = jnp.min(jnp.where(d <= dmin, rows, jnp.int32(2 ** 30)),
+                  axis=0, keepdims=True)                        # (1, T)
+    onehot = (rows == arg).astype(f32)                          # (Vp, T)
+
+    # winning vertex's [ik(16); tpose(3)]: one vertex-major MXU matmul
+    gathered = jax.lax.dot_general(vfeat_t, onehot, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=f32)  # (19, T)
+
+    x = pts_t[0:1]
+    y = pts_t[1:2]
+    z1 = pts_t[2:3]
+    g = lambda i: gathered[i : i + 1, :]
+    # inverse-FK canonicalization: rows of the blended 4x4 (ref :219-230)
+    cano0 = (g(0) * x + g(1) * y + g(2) * z1 + g(3)) / 2.0
+    cano1 = (g(4) * x + g(5) * y + g(6) * z1 + g(7) + 0.2) / 2.0
+    cano2 = (g(8) * x + g(9) * y + g(10) * z1 + g(11)) / 1.3
+    tp2 = g(18) / 0.2
+    ndist = jnp.sqrt(jnp.maximum(2.0 * dmin, 0.0)) / 1.3  # dmin is |v-p|^2/2
+
+    cano = jnp.concatenate([cano0, cano1, cano2], axis=0)       # (3, T)
+    tp = jnp.concatenate([g(16), g(17), tp2], axis=0)           # (3, T)
+    if legacy_mode:
+        out = jnp.concatenate([jd, cano, tp, ndist], axis=0)
+    else:
+        out = jnp.concatenate([cano, jd, tp, ndist], axis=0)
+    out_ref[0] = out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("legacy_mode", "tile_points", "interpret"),
+)
+def geo_features_pallas(
+    points: jax.Array,      # (B, P, 3) raw world points
+    vertices: jax.Array,    # (B, V, 3) posed vertices
+    vfeat: jax.Array,       # (B, V, 19) [blended inverse-FK 16; tpose 3]
+    skeletons: jax.Array,   # (B, J, 3)
+    legacy_mode: bool = False,
+    tile_points: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    """Returns (B, P, 31) f32 geo features (models.smpl.get_geo_features
+    semantics, ref smpl.py:210-249)."""
+    B, P, _ = points.shape
+    pad_p = (-P) % tile_points
+    if pad_p:
+        points = jnp.pad(points, ((0, 0), (0, pad_p), (0, 0)))
+    Pp = P + pad_p
+    n_tiles = Pp // tile_points
+
+    V = vertices.shape[1]
+    pad_v = (-V) % 128
+    verts_p = jnp.pad(vertices.astype(jnp.float32), ((0, 0), (0, pad_v), (0, 0)),
+                      constant_values=1e6)
+    Vp = V + pad_v
+    # pre-halved |v|^2 (the kernel works in half-squared-distances)
+    vsq = 0.5 * jnp.sum(jnp.square(verts_p), axis=-1)[..., None]  # (B, Vp, 1)
+    vfeat_t = jnp.swapaxes(
+        jnp.pad(vfeat.astype(jnp.float32), ((0, 0), (0, pad_v), (0, 0))), 1, 2)
+    J = skeletons.shape[1]
+    skel = skeletons.astype(jnp.float32)                        # (B, J, 3)
+    ssq = jnp.sum(jnp.square(skel), axis=-1)[..., None]         # (B, J, 1)
+
+    pts_t = jnp.swapaxes(points.astype(jnp.float32), 1, 2)      # (B, 3, P)
+
+    kernel = functools.partial(_geo_kernel, legacy_mode=legacy_mode)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 3, tile_points), lambda b, t: (b, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Vp, 3), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Vp, 1), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 19, Vp), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, J, 3), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, J, 1), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, GEO_DIM, tile_points), lambda b, t: (b, 0, t),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, GEO_DIM, Pp), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=B * Pp * 2 * (Vp * (3 + 19) + J * 3),
+            bytes_accessed=B * Pp * (3 + GEO_DIM) * 4 + B * Vp * 23 * 4,
+            transcendentals=B * Pp * (J + 1),
+        ),
+        interpret=interpret,
+    )(pts_t, verts_p, vsq, vfeat_t, skel, ssq)
+
+    return jnp.swapaxes(out, 1, 2)[:, :P]  # (B, P, 31)
+
+
+def build_vertex_features(
+    tpose_vertices: jax.Array,  # (B, V, 3)
+    fk_matrices: jax.Array,     # (B, J, 4, 4)
+    lbs_weights: jax.Array,     # (B, V, J)
+) -> jax.Array:
+    """Per-vertex [blended inverse-FK (16); tpose (3)] table for the kernel
+    (the only XLA-side prep; tiny: B x V x 19)."""
+    B, V, _ = tpose_vertices.shape
+    ik = jnp.linalg.inv(fk_matrices.astype(jnp.float32))
+    vertex_ik = jnp.einsum("bvj,bjkl->bvkl", lbs_weights.astype(jnp.float32), ik)
+    return jnp.concatenate(
+        [vertex_ik.reshape(B, V, 16), tpose_vertices.astype(jnp.float32)], axis=-1)

@@ -129,6 +129,7 @@ class Trainer:
         # tile rasterizer serves the per-batch conditioning
         on_accel = jax.default_backend() not in ("cpu",)
         self._stage_meta.setdefault("pallas_knn", on_accel)
+        self._stage_meta.setdefault("pallas_geo", on_accel)
         self._stage_meta.setdefault("pallas_field", on_accel)
         self._stage_meta.setdefault("pallas_raster", on_accel)
         self.preprocessor = get_preprocessor(
