@@ -102,6 +102,10 @@ def _synthesis_meta(meta) -> Dict:
         "mod_blocks": tuple(meta["mod_blocks"]),
         "spatial_normalization": meta.get("spatial_normalization", "instance_norm"),
         "map3d_mode": meta.get("map3d_mode", "isolated"),
+        # trainable fused half-block kernels (ops/synthesis_train.py)
+        "fused_train": meta.get("pallas_synthesis_train", False),
+        "fused_tile_rows": meta.get("pallas_synthesis_train_tile_rows", 8),
+        "fused_interpret": meta.get("pallas_interpret", False),
     }
 
 

@@ -193,6 +193,34 @@ def init_sync_batch_norm(num_features):
     return params, state
 
 
+def sync_bn_moments(
+    state, x, axis_name: Optional[str] = None,
+    momentum: float = 0.1, eps: float = 1e-5,
+):
+    """Train-mode sync-BN moments: cross-replica (pmean'd) differentiable
+    batch mean/var of NHWC ``x`` plus the running-stat update (unbiased
+    variance, stop-gradient).  Shared by the XLA path
+    (apply_sync_batch_norm) and the fused train kernel
+    (ops/synthesis_train.py), which takes (mean, rsqrt(var+eps)) as
+    differentiable arguments."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=(0, 1, 2))
+    mean = _cross_replica_mean(mean, axis_name)
+    var = jnp.mean(jnp.square(x32 - mean), axis=(0, 1, 2))
+    var = _cross_replica_mean(var, axis_name)
+
+    n = x.shape[0] * x.shape[1] * x.shape[2]
+    if axis_name is not None:
+        n = n * jax.lax.psum(1, axis_name)
+    unbiased = jax.lax.stop_gradient(var) * n / max(n - 1, 1)
+    new_state = {
+        "mean": (1 - momentum) * state["mean"] + momentum * jax.lax.stop_gradient(mean),
+        "var": (1 - momentum) * state["var"] + momentum * unbiased,
+        "count": state["count"] + 1,
+    }
+    return mean, var, new_state
+
+
 def apply_sync_batch_norm(
     params, state, x, train: bool, axis_name: Optional[str] = None,
     momentum: float = 0.1, eps: float = 1e-5,
@@ -204,20 +232,7 @@ def apply_sync_batch_norm(
     in_dtype = x.dtype
     x = x.astype(jnp.float32)  # stats in f32 regardless of residency dtype
     if train:
-        mean = jnp.mean(x, axis=(0, 1, 2))
-        mean = _cross_replica_mean(mean, axis_name)
-        var = jnp.mean(jnp.square(x - mean), axis=(0, 1, 2))
-        var = _cross_replica_mean(var, axis_name)
-
-        n = x.shape[0] * x.shape[1] * x.shape[2]
-        if axis_name is not None:
-            n = n * jax.lax.psum(1, axis_name)
-        unbiased = jax.lax.stop_gradient(var) * n / max(n - 1, 1)
-        new_state = {
-            "mean": (1 - momentum) * state["mean"] + momentum * jax.lax.stop_gradient(mean),
-            "var": (1 - momentum) * state["var"] + momentum * unbiased,
-            "count": state["count"] + 1,
-        }
+        mean, var, new_state = sync_bn_moments(state, x, axis_name, momentum, eps)
     else:
         mean, var = state["mean"], state["var"]
         new_state = state
@@ -365,6 +380,71 @@ def apply_spade_block(
     return x, new_state
 
 
+def apply_spade_block_fused(
+    params, state, x, style, fixed_row, skip=False, axis_name=None,
+    compute_dtype=jnp.bfloat16, tile_rows: int = 8, interpret: bool = False,
+):
+    """apply_spade_block (batch_norm, train=True) on the fused Pallas
+    half-block kernels (ops/synthesis_train.py).
+
+    Moments (+pmean), spectral norm and running-stat/state updates stay in
+    this XLA frame — semantics identical to the per-op path; the
+    normalize/modulate/activate/conv chain runs per pixel tile in VMEM
+    with a custom VJP.  ``style``: (B, H, W, Cs) spatial map, or a global
+    (B, 1, Cs) vector (rank-1 gamma/beta path); ``fixed_row``: optional
+    (B, Cs) row added to a spatial style in-kernel (mixed/all modes).
+    """
+    from threedhumangan_tpu.ops.synthesis_train import (
+        spade_half_block_rank1,
+        spade_half_block_spatial,
+    )
+
+    B = x.shape[0]
+    new_state = {}
+    x_orig = x
+    h = x.astype(compute_dtype)
+
+    for si, cname in ((0, "conv_0"), (1, "conv_1")):
+        sp = params[f"spade_{si}"]
+        mean, var, ns_norm = sync_bn_moments(
+            state[f"spade_{si}"]["norm"], h, axis_name)
+        new_state[f"spade_{si}"] = {"norm": ns_norm}
+        r = jax.lax.rsqrt(var + 1e-5)
+        w_bar, new_state[cname] = spectral_normalize(
+            params[cname]["w"], state[cname], train=True)
+
+        if style.ndim == 4:
+            mlp = {
+                "sh_w": sp["mlp_shared"]["w"], "sh_b": sp["mlp_shared"]["b"],
+                "g_w": sp["mlp_gamma"]["w"], "g_b": sp["mlp_gamma"]["b"],
+                "bt_w": sp["mlp_beta"]["w"], "bt_b": sp["mlp_beta"]["b"],
+            }
+            h = spade_half_block_spatial(
+                h, style.astype(compute_dtype), fixed_row,
+                mean, r, sp["norm"]["scale"], sp["norm"]["bias"],
+                mlp, w_bar, params[cname]["b"],
+                tile_rows=tile_rows, compute_dtype=compute_dtype,
+                interpret=interpret)
+        else:
+            # global style: the SPADE MLP output is rank-1 over pixels —
+            # run it pre-broadcast here (differentiable, tiny) and ship
+            # per-image gamma/beta rows
+            srow = style.reshape(B, 1, -1)
+            actv = jax.nn.relu(apply_conv1x1(sp["mlp_shared"], srow, compute_dtype))
+            gam = 1.0 + apply_conv1x1(sp["mlp_gamma"], actv, compute_dtype)
+            bet = apply_conv1x1(sp["mlp_beta"], actv, compute_dtype)
+            h = spade_half_block_rank1(
+                h, gam.reshape(B, -1), bet.reshape(B, -1),
+                mean, r, sp["norm"]["scale"], sp["norm"]["bias"],
+                w_bar, params[cname]["b"],
+                tile_rows=tile_rows, compute_dtype=compute_dtype,
+                interpret=interpret)
+
+    if skip and h.shape[-1] == x_orig.shape[-1]:
+        h = h + x_orig
+    return h, new_state
+
+
 # ---------------------------------------------------------------------------
 # inputs / ToRGB
 # ---------------------------------------------------------------------------
@@ -495,6 +575,10 @@ def apply_synthesis_network(
     mode = meta["map3d_mode"]
     norm = meta["spatial_normalization"]
 
+    # fused train-mode half-block kernels (ops/synthesis_train.py): batch
+    # moments/spectral-norm/skip/ToRGB stay here, the per-pixel chain runs
+    # in VMEM with a custom VJP
+    fused = (meta.get("fused_train", False) and train and norm == "batch_norm")
     pixelwise = norm == "none"
     if pixelwise:
         B, H, W, C = x.shape
@@ -505,9 +589,12 @@ def apply_synthesis_network(
     new_block_states = []
 
     for idx in range(num_blocks):
+        fixed_row = None  # (B, C) row added to a spatial style in-kernel
         if mode == "all":
             fs = fixed_style[:, 0]  # (B, C)
-            if style.ndim == 4:
+            if fused:
+                input_style, fixed_row = style, fs
+            elif style.ndim == 4:
                 input_style = style + fs[:, None, None, :]
             else:
                 input_style = style + fs[:, None, :]
@@ -517,6 +604,8 @@ def apply_synthesis_network(
                 # zeros_like(style) + fs is just fs broadcast: keep it as a
                 # (B, 1, C) global vector so the SPADE MLPs run pre-broadcast
                 input_style = fs[:, None, :]
+            elif fused:
+                input_style, fixed_row = style, fs
             elif style.ndim == 4:
                 input_style = style + fs[:, None, None, :]
             else:
@@ -527,7 +616,18 @@ def apply_synthesis_network(
             raise ValueError("invalid map3d_mode")
 
         skip = idx >= num_blocks // 2
-        if pixelwise:
+        if fused:
+            block_fn = functools.partial(
+                apply_spade_block_fused, skip=skip, axis_name=axis_name,
+                compute_dtype=compute_dtype,
+                tile_rows=meta.get("fused_tile_rows", 8),
+                interpret=meta.get("fused_interpret", False))
+            if remat:
+                block_fn = jax.checkpoint(block_fn)
+            x, bs = block_fn(params["blocks"][idx], state["blocks"][idx],
+                             x, input_style, fixed_row)
+            new_block_states.append(bs)
+        elif pixelwise:
             block_fn = functools.partial(
                 apply_synthesis_block, skip=skip, compute_dtype=compute_dtype)
             if remat:

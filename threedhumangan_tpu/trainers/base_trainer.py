@@ -132,6 +132,12 @@ class Trainer:
         self._stage_meta.setdefault("pallas_geo", on_accel)
         self._stage_meta.setdefault("pallas_field", on_accel)
         self._stage_meta.setdefault("pallas_raster", on_accel)
+        # trainable fused synthesis half-blocks (ops/synthesis_train.py):
+        # serve the G-step grad path AND the D-step train-mode fakes; with
+        # their minimal residuals the per-block remat is no longer needed
+        self._stage_meta.setdefault("pallas_synthesis_train", on_accel)
+        if self._stage_meta["pallas_synthesis_train"]:
+            self._stage_meta.setdefault("remat_synthesis", False)
         self.preprocessor = get_preprocessor(
             self._stage_meta, smpl_model=self.dataset.smpl_model)
 
