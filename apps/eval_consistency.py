@@ -2,12 +2,18 @@
 
 Renders ONE identity across N camera angles / body poses and reports
 cross-view consistency metrics:
-  * seg_iou   — mean IoU between the generator's rendered body silhouette
-                (from the depth/weights) and the rasterized SMPL silhouette,
-                per view (geometric grounding of the 3D representation);
-  * photo_l1  — mean L1 between adjacent-view images warped only by the
-                small camera delta (a cheap view-consistency proxy; true
-                multi-view metrics need correspondences).
+  * seg_iou    — mean IoU between the generator's rendered body silhouette
+                 (from the depth/weights) and the rasterized SMPL silhouette,
+                 per view (geometric grounding of the 3D representation);
+  * reproj_l1  — depth-REPROJECTION consistency: view i's pixels are lifted
+                 to world space through the rendered depth and the
+                 weak-perspective camera (volume_rendering.py
+                 get_initial_rays_weak_perspective inverse), projected into
+                 view i+1, and the bilinearly-sampled neighbor image is
+                 compared under the joint validity mask.  This is the real
+                 multi-view metric — geometry and appearance must agree;
+  * adjacent_view_l1 — raw un-warped adjacent-frame L1 (legacy proxy, kept
+                 for cross-round comparability).
 
 Usage:
   python apps/eval_consistency.py --config MAP3DBN_TINY --n_angles 16
@@ -71,6 +77,8 @@ def main():
 
     import functools
 
+    rh, rw = config["render_height"], config["render_width"]
+
     @functools.partial(jax.jit)
     def one_view(h, rng):
         cond = pre.forward_with_rotation(
@@ -85,22 +93,69 @@ def main():
         inter = jnp.sum(render_mask & raster_small)
         union = jnp.sum(render_mask | raster_small)
         iou = inter / jnp.maximum(union, 1)
-        return out["rgbs"][0], iou
+        # render-res image for the reprojection metric
+        rgb_small = jax.image.resize(out["rgbs"], (1, rh, rw, 3), "bilinear")
+        focal = cond["intrinsics"][0, 0, 0]
+        scale = cond["scales"][0].astype(jnp.float32)
+        return (out["rgbs"][0], iou, out["depths"][0, ..., 0], rgb_small[0],
+                cond["cam2world_matrices"][0], focal, scale)
+
+    @functools.partial(jax.jit)
+    def reproject(depth_i, rgb_i, cam_i, rgb_j, cam_j, focal, scale):
+        """Lift view i through its rendered depth, project into view j,
+        sample view j's image, masked L1.  Exact inverse of the
+        weak-perspective ray model (volume_rendering.py:102-136): pixel
+        (u, v) -> d_cam = normalize([x, y, focal]), world = R d t + T with
+        depth t measured along the normalized ray."""
+        span = rw / rh
+        xs = jnp.linspace(-span, span, rw)
+        ys = jnp.linspace(-1.0, 1.0, rh)
+        gy, gx = jnp.meshgrid(ys, xs, indexing="ij")            # (rh, rw)
+        d_cam = jnp.stack([gx, gy, jnp.full_like(gx, focal)], -1)
+        d_cam = d_cam / jnp.linalg.norm(d_cam, axis=-1, keepdims=True)
+        # un-normalize the [-1, 1]-clipped depth map (staged_forward output)
+        t = depth_i * (config["depth_length"] / 2.0) + focal / scale
+        p = jnp.einsum("ij,hwj->hwi", cam_i[:3, :3], d_cam * t[..., None])
+        p = p + cam_i[:3, 3]
+        # world -> view j camera space -> weak-perspective pixel
+        q = jnp.einsum("ji,hwj->hwi", cam_j[:3, :3], p - cam_j[:3, 3])
+        xj = q[..., 0] / q[..., 2] * focal
+        yj = q[..., 1] / q[..., 2] * focal
+        grid = jnp.stack([xj / span, yj], -1)[None]             # (1,rh,rw,2)
+        from threedhumangan_tpu.ops import grid_sample
+
+        warped = grid_sample(rgb_j[None], grid)[0]
+        valid = ((jnp.abs(depth_i) < 0.999)
+                 & (jnp.abs(xj) < span) & (jnp.abs(yj) < 1.0))
+        err = jnp.sum(jnp.abs(warped - rgb_i), axis=-1) / 3.0
+        n = jnp.maximum(jnp.sum(valid), 1)
+        return jnp.sum(jnp.where(valid, err, 0.0)) / n, n
 
     keys = jax.random.split(key, opt.n_angles)
-    frames, ious = [], []
+    frames, ious, views = [], [], []
     for i, h in enumerate(angles):
-        frame, iou = one_view(float(h), keys[i])
+        frame, iou, depth, rgb_small, cam, focal, scale = one_view(float(h), keys[i])
         frames.append(np.asarray(frame))
         ious.append(float(iou))
+        views.append((depth, rgb_small, cam, focal, scale))
+
+    reproj, weights = [], []
+    for i in range(len(views) - 1):
+        d_i, rgb_i, cam_i, focal, scale = views[i]
+        _, rgb_j, cam_j, _, _ = views[i + 1]
+        l1, n = reproject(d_i, rgb_i, cam_i, rgb_j, cam_j, focal, scale)
+        reproj.append(float(l1))
+        weights.append(float(n))
 
     frames = np.stack(frames)
     adj_l1 = float(np.mean(np.abs(frames[1:] - frames[:-1])))
+    reproj_l1 = float(np.average(reproj, weights=weights))
 
     result = {
         "metric": "multi-view consistency (16-angle sweep)",
         "n_angles": opt.n_angles,
         "seg_iou_mean": round(float(np.mean(ious)), 4),
+        "reproj_l1": round(reproj_l1, 4),
         "adjacent_view_l1": round(adj_l1, 4),
     }
     print(json.dumps(result))
