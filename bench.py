@@ -68,6 +68,9 @@ def main():
     meta["pallas_geo"] = on_tpu and os.environ.get("BENCH_PALLAS_GEO", "1") == "1"
     meta["pallas_synthesis"] = on_tpu
     meta["pallas_tile_rays"] = int(os.environ.get("BENCH_TILE_RAYS", "64"))
+    meta["pallas_march_loop"] = os.environ.get("BENCH_MARCH_LOOP", "0") == "1"
+    if os.environ.get("BENCH_GEO_TILE"):
+        meta["pallas_geo_tile_points"] = int(os.environ["BENCH_GEO_TILE"])
     if os.environ.get("BENCH_SYNTH_TILE"):
         meta["pallas_synthesis_tile_rows"] = int(os.environ["BENCH_SYNTH_TILE"])
 

@@ -51,8 +51,21 @@ def main():
     meta["dataset_length"] = opt.batch
     on_acc = jax.default_backend() not in ("cpu",)
     meta["pallas_knn"] = on_acc
+    meta["pallas_geo"] = on_acc and os.environ.get("BENCH_PALLAS_GEO", "1") == "1"
     meta["pallas_field"] = on_acc
     meta["pallas_raster"] = on_acc
+    # trainable fused synthesis half-blocks (ops/synthesis_train.py)
+    meta["pallas_synthesis_train"] = (
+        on_acc and os.environ.get("BENCH_SYNTH_TRAIN", "1") == "1")
+    if meta["pallas_synthesis_train"]:
+        meta.setdefault("remat_synthesis", False)
+    if os.environ.get("BENCH_SYNTH_TRAIN_TILE"):
+        meta["pallas_synthesis_train_tile_rows"] = int(
+            os.environ["BENCH_SYNTH_TRAIN_TILE"])
+    if os.environ.get("BENCH_MARCH_LOOP"):
+        meta["pallas_march_loop"] = os.environ["BENCH_MARCH_LOOP"] == "1"
+    if os.environ.get("BENCH_TILE_RAYS"):
+        meta["pallas_tile_rays"] = int(os.environ["BENCH_TILE_RAYS"])
 
     B = opt.batch
     smpl = synthetic_smpl_model(num_verts=6890, num_faces=13776)

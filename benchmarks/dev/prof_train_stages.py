@@ -24,8 +24,13 @@ meta = dict(configs.extract_metadata(getattr(configs, CFG), 0))
 meta["dataset_length"] = B
 on_acc = jax.default_backend() not in ("cpu",)
 meta["pallas_knn"] = on_acc
+meta["pallas_geo"] = on_acc and os.environ.get("BENCH_PALLAS_GEO", "1") == "1"
 meta["pallas_field"] = on_acc
 meta["pallas_raster"] = on_acc
+meta["pallas_synthesis_train"] = (
+    on_acc and os.environ.get("BENCH_SYNTH_TRAIN", "1") == "1")
+if meta["pallas_synthesis_train"]:
+    meta.setdefault("remat_synthesis", False)
 for k, v in os.environ.items():
     if k.startswith("BENCH_META_"):
         key = k[len("BENCH_META_"):].lower()

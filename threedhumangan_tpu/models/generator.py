@@ -200,6 +200,7 @@ def render(
                              legacy_mode=meta.get("legacy_mode", False),
                              use_pallas_knn=meta.get("pallas_knn", False),
                              use_pallas_geo=meta.get("pallas_geo", False),
+                             geo_tile_points=meta.get("pallas_geo_tile_points", 128),
                              interpret=meta.get("pallas_interpret", False)))
 
     if use_pallas:
@@ -225,6 +226,9 @@ def render(
             last_back=meta.get("last_back", False),
             compute_dtype=compute_dtype,
             exact_sin=not meta.get("fast_math", True),
+            # fori_loop step axis: constant VMEM over steps, admits
+            # tile_rays >= 128 (ops/raymarch._march docstring)
+            march_loop=meta.get("pallas_march_loop", False),
         )
         z_flat = z_vals.reshape(B, render_w * render_h, num_steps)
         if fuse_geo:
@@ -233,6 +237,7 @@ def render(
             # (16 MB/core; 64 rays at width 420 overflows by ~0.5 MB)
             common["tile_rays"] = meta.get(
                 "pallas_geo_tile_rays", min(common["tile_rays"], 32))
+            common.pop("march_loop")  # geo-fused kernel is unroll-only
             # per-vertex [blended inverse-FK (16); tpose (3)] table — the
             # only XLA-side geo prep; KNN + gather + canonicalization all
             # happen inside the kernel

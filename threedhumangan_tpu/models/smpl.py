@@ -338,6 +338,7 @@ def get_geo_features(
     legacy_mode: bool = False,
     use_pallas_knn: bool = False,
     use_pallas_geo: bool = False,
+    geo_tile_points: int = 128,
     interpret: bool = False,
 ) -> jax.Array:
     """Per-point 31-d geometric conditioning (ref smpl.py:210-249).
@@ -363,7 +364,9 @@ def get_geo_features(
 
         vfeat = build_vertex_features(tpose_vertices, fk_matrices, lbs_weights)
         return geo_features_pallas(points, vertices, vfeat, skeletons,
-                                   legacy_mode=legacy_mode, interpret=interpret)
+                                   legacy_mode=legacy_mode,
+                                   tile_points=geo_tile_points,
+                                   interpret=interpret)
 
     # joint distances, normalized (ref :216)
     diff = points[:, :, None, :] - skeletons[:, None, :, :]

@@ -423,7 +423,7 @@ def _xla_packed_render(field_params, packed_inputs, freq, phase, z_vals,
 @functools.lru_cache(maxsize=None)
 def _make_trainable_render(num_steps, tile_rays, white_back, last_back,
                            compute_dtype, interpret, exact_sin,
-                           pallas_bwd=False):
+                           pallas_bwd=False, march_loop=False):
     """Differentiable fused render: the primal forward is the Pallas kernel
     (fast — weights resident in VMEM, no HBM activations); the backward
     rematerializes through `_xla_packed_render` and pulls cotangents back
@@ -444,7 +444,7 @@ def _make_trainable_render(num_steps, tile_rays, white_back, last_back,
             field_params, packed, freq, phase, z_vals, num_steps=num_steps,
             tile_rays=tile_rays, white_back=white_back, last_back=last_back,
             compute_dtype=compute_dtype, interpret=interpret,
-            exact_sin=exact_sin)
+            exact_sin=exact_sin, march_loop=march_loop)
 
     def fwd(field_params, packed, freq, phase, z_vals):
         return render_fn(field_params, packed, freq, phase, z_vals), (
@@ -480,7 +480,7 @@ def fused_field_render_trainable(
     field_params, packed_inputs, freq, phase, z_vals, *,
     num_steps, tile_rays=128, white_back=False, last_back=False,
     compute_dtype=jnp.bfloat16, interpret=False, exact_sin=False,
-    pallas_bwd=False,
+    pallas_bwd=False, march_loop=False,
 ):
     """`fused_field_render` with gradients: Pallas forward and either the
     XLA-remat backward (default) or the full Pallas backward kernel
@@ -488,7 +488,7 @@ def fused_field_render_trainable(
     z are no-grad data on every caller path)."""
     fn = _make_trainable_render(
         num_steps, tile_rays, white_back, last_back, compute_dtype,
-        interpret, exact_sin, pallas_bwd)
+        interpret, exact_sin, pallas_bwd, march_loop)
     return fn(field_params, packed_inputs, freq, phase, z_vals)
 
 

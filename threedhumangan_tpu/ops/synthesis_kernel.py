@@ -85,6 +85,7 @@ def _synthesis_kernel(
     *refs,
     weight_names, num_blocks, block_start, block_end, mod_blocks, map3d_mode,
     tile_rows, width, height, compute_dtype, has_x_in, rank1_rows,
+    has_style=True, has_gab=True,
 ):
     """One fused stage covering blocks [block_start, block_end).
 
@@ -101,9 +102,10 @@ def _synthesis_kernel(
     of the kernel's FLOPs).
     """
     idx0 = 0
-    style_ref = refs[idx0]; idx0 += 1
-    fixed_ref = refs[idx0]; idx0 += 1
-    if rank1_rows:
+    if has_style:
+        style_ref = refs[idx0]; idx0 += 1
+        fixed_ref = refs[idx0]; idx0 += 1
+    if has_gab:
         gab_ref = refs[idx0]; idx0 += 1
     if has_x_in:
         x_in_ref = refs[idx0]; idx0 += 1
@@ -138,8 +140,9 @@ def _synthesis_kernel(
         x = x.astype(compute_dtype)
         rgb = None
 
-    style = style_ref[0].reshape(P, -1).astype(compute_dtype)
-    fixed = fixed_ref[0].astype(compute_dtype)  # (1, F)
+    if has_style:
+        style = style_ref[0].reshape(P, -1).astype(compute_dtype)
+        fixed = fixed_ref[0].astype(compute_dtype)  # (1, F)
 
     for i in range(block_start, block_end):
         rank1 = i in rank1_rows
@@ -253,15 +256,15 @@ def fused_synthesis(
         gab = jnp.stack(rows, axis=1).astype(jnp.float32)  # (B, n_rows, hidden)
 
     grid = (B, H // tile_rows)
-    base_specs = [
+    style_specs = [
         pl.BlockSpec((1, tile_rows, Wd, F), lambda b, t: (b, t, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, F), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
     ]
+    gab_spec = None
     if gab is not None:
-        base_specs.append(
-            pl.BlockSpec((1, gab.shape[1], hidden), lambda b, t: (b, 0, 0),
-                         memory_space=pltpu.VMEM))
+        gab_spec = pl.BlockSpec((1, gab.shape[1], hidden), lambda b, t: (b, 0, 0),
+                                memory_space=pltpu.VMEM)
     x_spec = pl.BlockSpec((1, tile_rows, Wd, hidden), lambda b, t: (b, t, 0, 0),
                           memory_space=pltpu.VMEM)
     rgb_spec = pl.BlockSpec((1, tile_rows, Wd, 3), lambda b, t: (b, t, 0, 0),
@@ -289,6 +292,12 @@ def fused_synthesis(
         stage = cast(stage)
         names = tuple(sorted(stage))
         has_x_in = start > 0
+        # skip the (1, tile, W, F) style read for stages whose blocks are
+        # all rank-1 (isolated mode runs 6 of 9 blocks that way): the big
+        # style map is only streamed through stages that modulate with it
+        has_style = any(i not in rank1_rows for i in range(start, end))
+        has_gab = gab is not None and any(
+            i in rank1_rows for i in range(start, end))
 
         kernel = functools.partial(
             _synthesis_kernel,
@@ -297,11 +306,15 @@ def fused_synthesis(
             mod_blocks=tuple(mod_blocks), map3d_mode=map3d_mode,
             tile_rows=tile_rows, width=Wd, height=H,
             compute_dtype=compute_dtype, has_x_in=has_x_in,
-            rank1_rows=rank1_rows)
+            rank1_rows=rank1_rows, has_style=has_style, has_gab=has_gab)
 
-        in_specs = list(base_specs)
-        args = [style_map, fixed_style]
-        if gab is not None:
+        in_specs = []
+        args = []
+        if has_style:
+            in_specs += style_specs
+            args += [style_map, fixed_style]
+        if has_gab:
+            in_specs.append(gab_spec)
             args.append(gab)
         if has_x_in:
             in_specs += [x_spec, rgb_spec]
