@@ -34,6 +34,8 @@ def parse_args():
     parser.add_argument("--platform", type=str, default=None,
                         help="force a jax platform (e.g. cpu for smoke tests)")
     # parameter tuning options
+    parser.add_argument("--tensorboard", type=int, default=1,
+                        help="write tfevents alongside metrics.jsonl")
     parser.add_argument("--tune", type=str, default="")
     parser.add_argument("--variant", type=int, default=0)
     opt = parser.parse_args()

@@ -37,7 +37,7 @@ def test_trainer_runs_and_checkpoints(tmp_path_factory, tiny_config):
     trainer.run(max_steps=2)
     assert trainer.step == 2
     ckpt_dir = os.path.join(out, "trainer_test")
-    ckpts = [f for f in os.listdir(ckpt_dir) if f.endswith("checkpoint.pkl")]
+    ckpts = [f for f in os.listdir(ckpt_dir) if f.endswith("checkpoint.npz")]
     assert ckpts, os.listdir(ckpt_dir)
     # metrics logged (step 1 always logs) incl. the per-group norm scalars
     import json

@@ -50,7 +50,39 @@ def test_checkpoint_roundtrip_and_prune(tmp_path):
     payload = ckpt.load_checkpoint(latest)
     assert payload["step"] == 5000
     files = sorted(os.listdir(d))
-    assert files == ["00005000_checkpoint.pkl"]
+    assert files == ["00005000_checkpoint.npz"]
+
+
+def test_checkpoint_namedtuple_nodes_and_partial_load(tmp_path):
+    """optax opt-state NamedTuples survive the npz round trip; ``only=``
+    skips unrequested array leaves without disturbing structure."""
+    import optax
+
+    opt = optax.scale_by_adam()
+    params = {"a": jnp.ones((3,)), "b": {"c": jnp.zeros((2, 2))}}
+    payload = {
+        "train_state": {
+            "params_G": params,
+            "opt_G": opt.init(params),
+            "note": "hello",
+            "shapes": [1, (2, 3), None],
+        }
+    }
+    path = ckpt.save_checkpoint(str(tmp_path), 7, payload, keep_interval=1)
+    assert path.endswith(".npz")
+
+    full = ckpt.load_checkpoint(path)
+    assert isinstance(full["train_state"]["opt_G"], optax.ScaleByAdamState)
+    np.testing.assert_array_equal(
+        full["train_state"]["opt_G"].mu["b"]["c"], np.zeros((2, 2)))
+    assert full["train_state"]["note"] == "hello"
+    assert full["train_state"]["shapes"] == [1, (2, 3), None]
+
+    part = ckpt.load_checkpoint(path, only=["/train_state/params_G"])
+    np.testing.assert_array_equal(part["train_state"]["params_G"]["a"],
+                                  np.ones((3,)))
+    assert part["train_state"]["opt_G"].mu["a"] is None  # skipped leaf
+    assert part["train_state"]["note"] == "hello"  # py leaves always load
 
 
 def test_collector_moments():

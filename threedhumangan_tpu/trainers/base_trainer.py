@@ -68,6 +68,15 @@ class Trainer:
 
         self.meta = configs.extract_metadata(config, 0)
         self.smpl_model = smpl_model
+        # TensorBoard event stream (ref base_trainer.py:67 SummaryWriter);
+        # scalars mirror metrics.jsonl, weight histograms ride the
+        # sample_interval cadence (ref log_weights :212-223).  Grad
+        # histograms are represented by the per-group grad-norm scalars the
+        # step already emits (grads are not retained host-side under jit).
+        self.tb = None
+        if rank == 0 and getattr(opt, "tensorboard", 1):
+            from threedhumangan_tpu.utils.tb import EventWriter
+            self.tb = EventWriter(self.output_dir)
         self.collector = Collector(".*")
         self.ada_collector = Collector("real_signs.*")
         self.ada_p = 0.0  # ADA controller state (ref base_trainer.py:133-145)
@@ -271,6 +280,24 @@ class Trainer:
         path = os.path.join(self.output_dir, "metrics.jsonl")
         with open(path, "a") as f:
             f.write(json.dumps({"step": self.step, **scalars}) + "\n")
+        if self.tb is not None:
+            for name, value in scalars.items():
+                self.tb.add_scalar(f"train/{name}", value, self.step)
+            self.tb.flush()
+
+    def log_weights(self):
+        """Per-parameter weight histograms (ref log_weights :212-223)."""
+        if self.tb is None:
+            return
+        for prefix, tree in (("train/weights/gen", self.ts.params_G),
+                             ("train/weights/disc", self.ts.params_D)):
+            flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+            for kp, leaf in flat:
+                tag = "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                               for k in kp)
+                self.tb.add_histogram(f"{prefix}/{tag}", np.asarray(leaf),
+                                      self.step)
+        self.tb.flush()
 
     # -- main loop ----------------------------------------------------------------
 
@@ -336,6 +363,7 @@ class Trainer:
                 if (self.rank == 0 and sample_interval
                         and self.step % sample_interval == 0 and self.step > 0):
                     self.log_image(meta)  # ref run :439-443
+                    self.log_weights()  # ref run :443
 
         if self.rank == 0:
             self.save()
