@@ -77,6 +77,15 @@ def main():
             captured.append({k: np.asarray(v) for k, v in b.items()})
             yield b
 
+    # compile first (local, no collectives), THEN rendezvous on the
+    # coordination service (10-min timeout), THEN execute: the Gloo
+    # context rendezvous inside the first executed step has a hard ~30s
+    # timeout that an unsynchronized multi-minute compile would blow
+    trainer.aot_compile_current_stage()
+    from jax._src import distributed  # noqa: E402
+    distributed.global_state.client.wait_at_barrier(
+        "mh_compiled", timeout_in_ms=600_000)
+
     trainer.loader_fn = recording_loader
     trainer.run(max_steps=2)
     assert trainer.step == 2

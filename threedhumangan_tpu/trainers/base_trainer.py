@@ -182,6 +182,29 @@ class Trainer:
         self.train_step = make_mesh_train_pair(
             self.mesh, self.preprocessor, self._stage_meta)
 
+    def aot_compile_current_stage(self) -> None:
+        """AOT-compile every phase-key variant of the current stage's train
+        step without executing a single collective (see
+        phase_trainer.make_mesh_train_pair.aot_compile).  Multi-process
+        runs call this, then barrier on the coordination service, then
+        ``run()`` — so no process sits in a Gloo rendezvous (hard ~30s
+        timeout) while a peer is still compiling."""
+        meta = self._meta_for_step(self.step)
+        if meta is None:
+            return
+        data = next(iter(self.loader_fn(seed=0, shuffle=False)))
+        batch = shard_batch(
+            {k: jnp.asarray(v) for k, v in data.items()}, self.mesh)
+        rng = jax.random.PRNGKey(0)
+        for key in dict.fromkeys(
+                (p["uncond"], p["gen_modal"]) for p in meta["phases"]):
+            phase = next(p for p in meta["phases"]
+                         if (p["uncond"], p["gen_modal"]) == key)
+            self.train_step.aot_compile(
+                self.ts, batch, rng, phase,
+                lr_g=self._cur_lr[0], lr_d=self._cur_lr[1],
+                nerf_noise=1.0, ada_p=self.ada_p)
+
     def _meta_for_step(self, step: int) -> Optional[Dict]:
         meta = configs.extract_metadata(self.config, step)
         if "batch_size" not in meta:

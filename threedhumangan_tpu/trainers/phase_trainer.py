@@ -564,6 +564,27 @@ def make_mesh_train_pair(mesh, preprocessor, meta: Dict, axis_name: str = "data"
             jnp.asarray(lr_d, jnp.float32), jnp.asarray(lr_g, jnp.float32),
             jnp.asarray(nerf_noise, jnp.float32), jnp.asarray(ada_p, jnp.float32))
 
+    def aot_compile(ts, batch, rng, phase, lr_g, lr_d, nerf_noise, ada_p=0.0):
+        """Compile the step WITHOUT executing it (no collectives run).
+
+        Multi-process CPU runs need this: XLA's Gloo rendezvous has a hard
+        ~30s key-exchange timeout, and the first step's multi-minute compile
+        is unsynchronized across processes — so each process AOT-compiles
+        (populating the persistent compile cache the later real call hits),
+        then the processes barrier on the coordination service (long
+        timeout), and only then execute (skew ~ms).
+        """
+        key = (phase["uncond"], phase["gen_modal"])
+        if key not in cache:
+            cache[key] = _build(key)
+        cache[key].lower(
+            ts, batch, rng,
+            jnp.asarray(phase["rotate"], bool), jnp.asarray(phase["do_r1"], bool),
+            jnp.asarray(lr_d, jnp.float32), jnp.asarray(lr_g, jnp.float32),
+            jnp.asarray(nerf_noise, jnp.float32),
+            jnp.asarray(ada_p, jnp.float32)).compile()
+
+    step.aot_compile = aot_compile
     _MESH_PAIR_CACHE[memo_key] = step
     return step
 
