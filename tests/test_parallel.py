@@ -141,10 +141,9 @@ def test_mesh_train_pair_matches_plain_steps():
     from threedhumangan_tpu.models.smpl import synthetic_smpl_model
     from threedhumangan_tpu.parallel.mesh import create_mesh, shard_batch
     from threedhumangan_tpu.trainers.phase_trainer import (
-        d_train_step,
-        g_train_step,
         init_train_state,
         make_mesh_train_pair,
+        train_step_pair,
     )
 
     meta = copy.deepcopy(configs.extract_metadata(configs.MAP3DBN_NANO, 0))
@@ -159,12 +158,14 @@ def test_mesh_train_pair_matches_plain_steps():
     ts0 = init_train_state(jax.random.PRNGKey(0), meta)
     rng = jax.random.PRNGKey(42)
 
-    # plain steps with the mesh step's per-replica RNG folding (axis_index=0)
+    # plain JITTED D+G pair with the mesh step's per-replica RNG folding
+    # (axis_index=0); train_step_pair splits k_d/k_g from the folded key
+    # exactly like the sharded step's body does.  (Driving the raw
+    # d/g_train_step functions eagerly computes the same thing but pays
+    # ~20s/step in op-by-op dispatch on the CPU CI host.)
     folded = jax.random.fold_in(rng, 0)
-    k_d, k_g = jax.random.split(folded)
-    lr_d, lr_g, noise = jnp.float32(4e-4), jnp.float32(1e-4), jnp.float32(0.5)
-    ts_a, _ = d_train_step(ts0, batch, k_d, lr_d, noise, pre, meta, phase)
-    ts_a, _ = g_train_step(ts_a, batch, k_g, lr_g, noise, pre, meta, phase)
+    ts_a, _ = train_step_pair(ts0, batch, folded, meta, pre, phase,
+                              lr_g=1e-4, lr_d=4e-4, nerf_noise=0.5)
 
     # mesh step on 1 device
     mesh1 = create_mesh(n_data=1)
@@ -178,7 +179,7 @@ def test_mesh_train_pair_matches_plain_steps():
         jb = jax.tree.leaves(getattr(ts_b, name))
         for a, b in zip(ja, jb):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                       rtol=2e-5, atol=2e-6)
+                                       rtol=2e-5, atol=8e-6)
 
     # and the same factory runs on the full 8-device mesh (batch 2 -> use
     # a 2-wide data axis; remaining devices idle)

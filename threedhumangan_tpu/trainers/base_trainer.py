@@ -108,6 +108,10 @@ class Trainer:
             latents = self.dataset.get_all_latents()
             self.ts = self.ts._replace(
                 params_G={**self.ts.params_G, "latent_pool": jnp.asarray(latents)})
+            # keep the whole state mesh-committed (one leaf left on the
+            # default device would force a second compile of the step)
+            from threedhumangan_tpu.parallel.mesh import replicate
+            self.ts = replicate(self.ts, self.mesh)
 
     # -- stage management -----------------------------------------------------
 
@@ -168,15 +172,17 @@ class Trainer:
             ndev = jax.local_device_count()
             n_data = max(n for n in range(1, ndev + 1)
                          if self.proc_batch_size % n == 0)
-        prev_mesh = getattr(self, "mesh", None)
         self.mesh = create_mesh(n_data=n_data)
-        if self.ts is not None and (n_proc > 1 or
-                                    (prev_mesh is not None and prev_mesh != self.mesh)):
-            # a batch boundary can change the mesh extent (e.g. 2 -> 4
-            # devices): the live train state is still committed to the old
-            # device set, and jit refuses mixed-device arguments — reshard
-            # it (replicated) onto the new mesh.  Multi-host always places
-            # here: single-device arrays are not globally addressable.
+        if self.ts is not None:
+            # commit the train state to the mesh (replicated) BEFORE the
+            # first step.  Besides being required on mesh changes (stale
+            # device commitments) and multi-host (global addressability),
+            # this keeps the FIRST call's input shardings identical to the
+            # steady state (shard_map outputs carry mesh shardings), so jit
+            # compiles ONE variant of the step program instead of a
+            # throwaway host-input variant plus the real one — measured
+            # ~90s of duplicate XLA compile per stage even for the NANO
+            # config on the CPU CI host.
             from threedhumangan_tpu.parallel.mesh import replicate
             self.ts = replicate(self.ts, self.mesh)
         self.train_step = make_mesh_train_pair(
