@@ -69,6 +69,7 @@ def main():
     meta["pallas_synthesis"] = on_tpu
     meta["pallas_tile_rays"] = int(os.environ.get("BENCH_TILE_RAYS", "64"))
     meta["pallas_march_loop"] = os.environ.get("BENCH_MARCH_LOOP", "0") == "1"
+    meta["pallas_step_pack"] = int(os.environ.get("BENCH_STEP_PACK", "2"))
     if os.environ.get("BENCH_GEO_TILE"):
         meta["pallas_geo_tile_points"] = int(os.environ["BENCH_GEO_TILE"])
     if os.environ.get("BENCH_SYNTH_TILE"):

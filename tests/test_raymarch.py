@@ -303,6 +303,12 @@ def test_march_loop_matches_unrolled(rng):
     np.testing.assert_allclose(np.asarray(out_l), np.asarray(out_u), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(depth_l), np.asarray(depth_u), rtol=1e-6)
 
+    # step_pack: stacked 2-step SIREN slabs, identical math (MXU row fill)
+    out_p, depth_p = fused_field_render(params, packed, freq, phase, z_vals,
+                                        step_pack=2, **kw)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_u), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(depth_p), np.asarray(depth_u), rtol=1e-6)
+
 
 @pytest.mark.parametrize("white_back,last_back,with_noise",
                          [(True, False, False), (False, True, True)])

@@ -229,6 +229,9 @@ def render(
             # fori_loop step axis: constant VMEM over steps, admits
             # tile_rays >= 128 (ops/raymarch._march docstring)
             march_loop=meta.get("pallas_march_loop", False),
+            # stack N step slabs per SIREN eval: matmul M = N*tile_rays
+            # fills the 128-row MXU at tile_rays=64 (unroll mode only)
+            step_pack=meta.get("pallas_step_pack", 2),
         )
         z_flat = z_vals.reshape(B, render_w * render_h, num_steps)
         if fuse_geo:
@@ -238,6 +241,7 @@ def render(
             common["tile_rays"] = meta.get(
                 "pallas_geo_tile_rays", min(common["tile_rays"], 32))
             common.pop("march_loop")  # geo-fused kernel is unroll-only
+            common.pop("step_pack")   # and single-step-slab only
             # per-vertex [blended inverse-FK (16); tpose (3)] table — the
             # only XLA-side geo prep; KNN + gather + canonicalization all
             # happen inside the kernel

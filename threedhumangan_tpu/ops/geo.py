@@ -11,7 +11,15 @@ inference pipeline.
 This kernel runs the stage in VMEM tiles with a TRANSPOSED (vertex-major)
 layout, which is the part that matters:
 
-  * distances   d (Vp, T)  = |v|^2 - 2 (verts @ pts^T) + |p|^2
+  * distances   d (Vp, T) = A @ p_aug, ONE MXU matmul: A = [v, |v|^2/2]
+                (Vp, 4) against p_aug = [-p; 1] (4, T), so the |v|^2 bias
+                rides the contraction and no VPU pass touches the (Vp, T)
+                tile to form d.  The per-point |p|^2/2 term is a constant
+                per COLUMN — it cannot change the row-argmin — so it is
+                dropped from the tile and only restored on the (1, T)
+                nearest-distance row (every elementwise op here streams
+                B*Vp*P = 8e9 elements at 512L shapes; round-2 formed d
+                with two such passes and measured 0.6%-of-roofline)
   * 1-NN        argmin over the SUBLANE axis (iota rows + min algebra)
   * gather      (19, T) = vfeat^T (19, Vp) @ onehot (Vp, T)  -- ONE MXU
                 matmul whose padded row count is 24, not the point tile's
@@ -41,17 +49,17 @@ from jax.experimental.pallas import tpu as pltpu
 GEO_DIM = 31  # 3 cano + 24 joint dists + 3 tpose + 1 nearest dist
 
 
-def _geo_kernel(pts_ref, verts_ref, vsq_ref, vfeat_ref, skel_ref, ssq_ref,
+def _geo_kernel(pts_ref, va_ref, vfeat_ref, skel_ref, ssq_ref,
                 out_ref, *, legacy_mode):
-    """One (3, T) tile of raw world points -> (31, T) geo features."""
+    """One (4, T) tile of augmented points [-p; 1] -> (31, T) geo features."""
     f32 = jnp.float32
-    pts_t = pts_ref[0]        # (3, T) raw coords
-    verts = verts_ref[0]      # (Vp, 3); padded rows at 1e6 never win the 1-NN
-    vsq = vsq_ref[0]          # (Vp, 1)
+    ptsa = pts_ref[0]         # (4, T): [-x, -y, -z, 1]
+    va = va_ref[0]            # (Vp, 4): [v, |v|^2/2]; padded rows never win
     vfeat_t = vfeat_ref[0]    # (19, Vp)
     skel = skel_ref[0]        # (J, 3)
     ssq = ssq_ref[0]          # (J, 1)
 
+    pts_t = -ptsa[0:3]                                    # (3, T) raw coords
     p_sq = jnp.sum(pts_t * pts_t, axis=0, keepdims=True)  # (1, T)
 
     # joint distances (ref smpl.py:216), J rows
@@ -59,13 +67,12 @@ def _geo_kernel(pts_ref, verts_ref, vsq_ref, vfeat_ref, skel_ref, ssq_ref,
                                  preferred_element_type=f32)    # (J, T)
     jd = jnp.sqrt(jnp.maximum(ssq - 2.0 * crossj + p_sq, 0.0) + 1e-12) / 2.4
 
-    # 1-NN over all vertices: (Vp, T) half-distance tile (ordering-equivalent
-    # to |v-p|^2; the ``2*cross`` multiply is folded into pre-halved vsq/psq
-    # host prep — this tile is the kernel's VPU bottleneck, every op counts),
+    # 1-NN over all vertices: the (Vp, T) half-distance tile comes STRAIGHT
+    # out of the MXU (|v|^2/2 rides the augmented contraction; |p|^2/2 is
+    # constant per column so it can't change the argmin and is left out);
     # argmin over the sublane axis via iota + min algebra
-    cross = jax.lax.dot_general(verts, pts_t, (((1,), (0,)), ((), ())),
-                                preferred_element_type=f32)     # (Vp, T)
-    d = (vsq - cross) + 0.5 * p_sq
+    d = jax.lax.dot_general(va, ptsa, (((1,), (0,)), ((), ())),
+                            preferred_element_type=f32)         # (Vp, T)
     dmin = jnp.min(d, axis=0, keepdims=True)                    # (1, T)
     rows = jax.lax.broadcasted_iota(jnp.int32, d.shape, 0)
     arg = jnp.min(jnp.where(d <= dmin, rows, jnp.int32(2 ** 30)),
@@ -85,7 +92,8 @@ def _geo_kernel(pts_ref, verts_ref, vsq_ref, vfeat_ref, skel_ref, ssq_ref,
     cano1 = (g(4) * x + g(5) * y + g(6) * z1 + g(7) + 0.2) / 2.0
     cano2 = (g(8) * x + g(9) * y + g(10) * z1 + g(11)) / 1.3
     tp2 = g(18) / 0.2
-    ndist = jnp.sqrt(jnp.maximum(2.0 * dmin, 0.0)) / 1.3  # dmin is |v-p|^2/2
+    # dmin is |v|^2/2 - v.p; restore the dropped |p|^2/2: |v-p|^2 = 2*dmin + p_sq
+    ndist = jnp.sqrt(jnp.maximum(2.0 * dmin + p_sq, 0.0)) / 1.3
 
     cano = jnp.concatenate([cano0, cano1, cano2], axis=0)       # (3, T)
     tp = jnp.concatenate([g(16), g(17), tp2], axis=0)           # (3, T)
@@ -123,8 +131,11 @@ def geo_features_pallas(
     verts_p = jnp.pad(vertices.astype(jnp.float32), ((0, 0), (0, pad_v), (0, 0)),
                       constant_values=1e6)
     Vp = V + pad_v
-    # pre-halved |v|^2 (the kernel works in half-squared-distances)
+    # augmented vertex table [v, |v|^2/2]: the bias column makes the in-kernel
+    # distance tile a single MXU product (padded rows land at ~1.5e12, body-
+    # scale points can never select them)
     vsq = 0.5 * jnp.sum(jnp.square(verts_p), axis=-1)[..., None]  # (B, Vp, 1)
+    va = jnp.concatenate([verts_p, vsq], axis=-1)               # (B, Vp, 4)
     vfeat_t = jnp.swapaxes(
         jnp.pad(vfeat.astype(jnp.float32), ((0, 0), (0, pad_v), (0, 0))), 1, 2)
     J = skeletons.shape[1]
@@ -132,6 +143,8 @@ def geo_features_pallas(
     ssq = jnp.sum(jnp.square(skel), axis=-1)[..., None]         # (B, J, 1)
 
     pts_t = jnp.swapaxes(points.astype(jnp.float32), 1, 2)      # (B, 3, P)
+    ptsa = jnp.concatenate(
+        [-pts_t, jnp.ones((B, 1, Pp), pts_t.dtype)], axis=1)    # (B, 4, P)
 
     kernel = functools.partial(_geo_kernel, legacy_mode=legacy_mode)
 
@@ -139,11 +152,9 @@ def geo_features_pallas(
         kernel,
         grid=(B, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, 3, tile_points), lambda b, t: (b, 0, t),
+            pl.BlockSpec((1, 4, tile_points), lambda b, t: (b, 0, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Vp, 3), lambda b, t: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Vp, 1), lambda b, t: (b, 0, 0),
+            pl.BlockSpec((1, Vp, 4), lambda b, t: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 19, Vp), lambda b, t: (b, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -156,12 +167,12 @@ def geo_features_pallas(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, GEO_DIM, Pp), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=B * Pp * 2 * (Vp * (3 + 19) + J * 3),
-            bytes_accessed=B * Pp * (3 + GEO_DIM) * 4 + B * Vp * 23 * 4,
+            flops=B * Pp * 2 * (Vp * (4 + 19) + J * 3),
+            bytes_accessed=B * Pp * (4 + GEO_DIM) * 4 + B * Vp * 23 * 4,
             transcendentals=B * Pp * (J + 1),
         ),
         interpret=interpret,
-    )(pts_t, verts_p, vsq, vfeat_t, skel, ssq)
+    )(ptsa, va, vfeat_t, skel, ssq)
 
     return jnp.swapaxes(out, 1, 2)[:, :P]  # (B, P, 31)
 

@@ -146,7 +146,7 @@ def _raymarch_kernel(
     *rest_refs,
     weight_names, hidden_dim, geo_dim, tile_rays, num_steps,
     white_back, last_back, compute_dtype, exact_sin, with_noise,
-    march_loop=False,
+    march_loop=False, step_pack=1,
 ):
     # pallas passes refs as (inputs..., outputs...): weights then out/depth
     weight_refs = rest_refs[: len(weight_names)]
@@ -173,13 +173,28 @@ def _raymarch_kernel(
     else:
         pk = packed_ref[0]  # (S, TILE_R, 37[+1]) step-major slabs
 
+        # step_pack > 1: run the SIREN on ``step_pack`` consecutive step
+        # slabs stacked into ONE (sp*TILE_R, n_cols) matmul operand — at
+        # tile_rays=64 a single slab fills only 64 of the MXU's 128 rows
+        # (field kernel measured 33% of its roofline); sp=2 restores full
+        # row occupancy while compositing stays per-step on (T, 1) slices.
+        # The group cache is trace-time only (s is a Python int here).
+        group_cache = {}
+
         def eval_step(s):
-            field, sigma = _field_slab(
-                weights, pk[s], freq, phase, hidden_dim, geo_dim,
-                compute_dtype, exact_sin, with_noise)
+            g, i = divmod(s, step_pack)
+            if g not in group_cache:
+                lo = g * step_pack
+                slab = pk[lo : lo + step_pack].reshape(
+                    step_pack * tile_rays, n_cols)
+                group_cache[g] = _field_slab(
+                    weights, slab, freq, phase, hidden_dim, geo_dim,
+                    compute_dtype, exact_sin, with_noise)
+            field_g, sigma_g = group_cache[g]
+            sl = slice(i * tile_rays, (i + 1) * tile_rays)
             z_s = z[:, s : s + 1]
             z_n = z[:, s + 1 : s + 2] if s + 1 < num_steps else z_s
-            return field, sigma, z_s, z_n
+            return field_g[sl], sigma_g[sl], z_s, z_n
 
     out_width = weights["w_feat"].shape[1] + 3
     out, depth = _march(eval_step, tile_rays, num_steps, white_back,
@@ -275,7 +290,8 @@ def _flatten_field_params(params: Dict) -> Dict[str, jax.Array]:
 @functools.partial(
     jax.jit,
     static_argnames=("num_steps", "tile_rays", "white_back", "last_back",
-                     "compute_dtype", "interpret", "exact_sin", "march_loop"),
+                     "compute_dtype", "interpret", "exact_sin", "march_loop",
+                     "step_pack"),
 )
 def fused_field_render(
     field_params: Dict,
@@ -291,16 +307,22 @@ def fused_field_render(
     interpret: bool = False,
     exact_sin: bool = False,
     march_loop: bool = False,
+    step_pack: int = 1,
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (rendered (B, R, feature_dim+3), depth (B, R, 1)).
 
     ``march_loop`` runs the step axis as a fori_loop inside the kernel
-    (constant VMEM over steps — allows tile_rays=128; see _march)."""
+    (constant VMEM over steps — allows tile_rays=128; see _march).
+    ``step_pack`` stacks that many consecutive step slabs into one SIREN
+    evaluation so the matmul M dim is step_pack*tile_rays (unroll mode
+    only; MXU row occupancy — see _raymarch_kernel)."""
     B, P, n_cols = packed_inputs.shape
     with_noise = n_cols == INPUT_PACK + 1
     R = P // num_steps
     assert R % tile_rays == 0, (R, tile_rays)
     n_tiles = R // tile_rays
+    if march_loop or num_steps % step_pack:
+        step_pack = 1
 
     weights = _flatten_field_params(field_params)
     names = tuple(sorted(weights))
@@ -341,7 +363,8 @@ def fused_field_render(
         weight_names=names, hidden_dim=hidden_dim, geo_dim=geo_dim,
         tile_rays=tile_rays, num_steps=num_steps,
         white_back=white_back, last_back=last_back, compute_dtype=compute_dtype,
-        exact_sin=exact_sin, with_noise=with_noise, march_loop=march_loop)
+        exact_sin=exact_sin, with_noise=with_noise, march_loop=march_loop,
+        step_pack=step_pack)
 
     grid = (B, n_tiles)
 
@@ -432,7 +455,7 @@ def _xla_packed_render(field_params, packed_inputs, freq, phase, z_vals,
 @functools.lru_cache(maxsize=None)
 def _make_trainable_render(num_steps, tile_rays, white_back, last_back,
                            compute_dtype, interpret, exact_sin,
-                           pallas_bwd=False, march_loop=False):
+                           pallas_bwd=False, march_loop=False, step_pack=1):
     """Differentiable fused render: the primal forward is the Pallas kernel
     (fast — weights resident in VMEM, no HBM activations); the backward
     rematerializes through `_xla_packed_render` and pulls cotangents back
@@ -453,7 +476,7 @@ def _make_trainable_render(num_steps, tile_rays, white_back, last_back,
             field_params, packed, freq, phase, z_vals, num_steps=num_steps,
             tile_rays=tile_rays, white_back=white_back, last_back=last_back,
             compute_dtype=compute_dtype, interpret=interpret,
-            exact_sin=exact_sin, march_loop=march_loop)
+            exact_sin=exact_sin, march_loop=march_loop, step_pack=step_pack)
 
     def fwd(field_params, packed, freq, phase, z_vals):
         return render_fn(field_params, packed, freq, phase, z_vals), (
@@ -489,7 +512,7 @@ def fused_field_render_trainable(
     field_params, packed_inputs, freq, phase, z_vals, *,
     num_steps, tile_rays=128, white_back=False, last_back=False,
     compute_dtype=jnp.bfloat16, interpret=False, exact_sin=False,
-    pallas_bwd=False, march_loop=False,
+    pallas_bwd=False, march_loop=False, step_pack=1,
 ):
     """`fused_field_render` with gradients: Pallas forward and either the
     XLA-remat backward (default) or the full Pallas backward kernel
@@ -497,7 +520,7 @@ def fused_field_render_trainable(
     z are no-grad data on every caller path)."""
     fn = _make_trainable_render(
         num_steps, tile_rays, white_back, last_back, compute_dtype,
-        interpret, exact_sin, pallas_bwd, march_loop)
+        interpret, exact_sin, pallas_bwd, march_loop, step_pack)
     return fn(field_params, packed_inputs, freq, phase, z_vals)
 
 
