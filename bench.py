@@ -70,10 +70,20 @@ def main():
     meta["pallas_tile_rays"] = int(os.environ.get("BENCH_TILE_RAYS", "64"))
     meta["pallas_march_loop"] = os.environ.get("BENCH_MARCH_LOOP", "0") == "1"
     meta["pallas_step_pack"] = int(os.environ.get("BENCH_STEP_PACK", "2"))
+    # mirror fused_field_render's coercion so logs label the EFFECTIVE
+    # kernel config, not the requested one
+    if (meta["pallas_march_loop"] or meta["pallas_step_pack"] < 1
+            or meta["num_steps"] % meta["pallas_step_pack"]):
+        if meta["pallas_step_pack"] != 1:
+            print(f"note: step_pack {meta['pallas_step_pack']} coerced to 1 "
+                  "(march_loop or non-dividing num_steps)", file=sys.stderr)
+        meta["pallas_step_pack"] = 1
     if os.environ.get("BENCH_GEO_TILE"):
         meta["pallas_geo_tile_points"] = int(os.environ["BENCH_GEO_TILE"])
     if os.environ.get("BENCH_SYNTH_TILE"):
         meta["pallas_synthesis_tile_rows"] = int(os.environ["BENCH_SYNTH_TILE"])
+    if os.environ.get("BENCH_SYNTH_BPS"):
+        meta["pallas_synthesis_blocks_per_stage"] = int(os.environ["BENCH_SYNTH_BPS"])
 
     smpl = synthetic_smpl_model(num_verts=6890, num_faces=13776)
     ds = SyntheticSHHQDataset(smpl_model=smpl, **meta)

@@ -27,6 +27,8 @@ BATCH = int(os.environ.get("BENCH_BATCH", "8"))
 TILE_RAYS = int(os.environ.get("BENCH_TILE_RAYS", "64"))
 MARCH_LOOP = os.environ.get("BENCH_MARCH_LOOP", "0") == "1"
 SYNTH_TILE = int(os.environ.get("BENCH_SYNTH_TILE", "2"))
+STEP_PACK = int(os.environ.get("BENCH_STEP_PACK", "2"))  # bench.py default
+SYNTH_BPS = int(os.environ.get("BENCH_SYNTH_BPS", "4"))
 
 meta = dict(configs.extract_metadata(configs.MAP3DBN512L, 0))
 meta.update(dataset_length=BATCH, nerf_noise=0.0, perturb_rays=False,
@@ -87,7 +89,7 @@ _, styles0 = apply_two_part_mapping_network(params["synthesis_mapping_network"],
 render_out0, _ = jax.jit(lambda pk: fused_field_render(
     params["neural_field"], pk, freq0, phase0, zflat0, num_steps=S,
     tile_rays=TILE_RAYS, compute_dtype=jnp.bfloat16,
-    march_loop=MARCH_LOOP))(packed0)
+    march_loop=MARCH_LOOP, step_pack=STEP_PACK))(packed0)
 featmap0 = render_out0[..., 3:].reshape(B, RH, RW, F)
 up0 = jax.image.resize(featmap0.astype(jnp.bfloat16), (B, GH, GW, F), "bilinear")
 folded0 = fold_synthesis_params(params["synthesis_network"], state["synthesis_network"],
@@ -142,7 +144,7 @@ def st_field(i, c):
     out, d = fused_field_render(
         params["neural_field"], packed0 + c, freq0, phase0, zflat0,
         num_steps=S, tile_rays=TILE_RAYS, compute_dtype=jnp.bfloat16,
-        march_loop=MARCH_LOOP)
+        march_loop=MARCH_LOOP, step_pack=STEP_PACK)
     return tick((out, d))
 stages["field_kernel"] = st_field
 
@@ -158,7 +160,8 @@ def st_synth(i, c, folded, up, styles):
     r = fused_synthesis(folded, up + c, styles, num_blocks=meta["synthesis_blocks"],
                         mod_blocks=tuple(meta["mod_blocks"]),
                         map3d_mode=meta.get("map3d_mode", "isolated"),
-                        tile_rows=SYNTH_TILE, compute_dtype=jnp.bfloat16)
+                        tile_rows=SYNTH_TILE, compute_dtype=jnp.bfloat16,
+                        blocks_per_stage=SYNTH_BPS)
     return tick(r)
 stages["synthesis_kernel"] = (st_synth, (folded0, up0, styles0))
 

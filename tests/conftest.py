@@ -12,8 +12,6 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "--xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
-
 import jax  # noqa: E402
 
 # The env var alone is not enough here: the axon TPU plugin (JAX_PLATFORMS
@@ -21,7 +19,14 @@ import jax  # noqa: E402
 # force the CPU platform through the config API before backends initialize.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# Persistent compile cache.  This jax version does NOT bind the
+# JAX_COMPILATION_CACHE_DIR env var to jax_compilation_cache_dir (verified:
+# the config stays None with the env set), so the directory MUST go through
+# the config API or the multi-minute train-step compiles are silently
+# recompiled on every suite run.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import pytest  # noqa: E402
 

@@ -1,0 +1,276 @@
+"""Pin the FID/perceptual feature extractors to the torch reference
+numerics, offline.
+
+torchvision is not installed in this environment, so the oracle is a torch
+re-implementation (in this test) of the exact torchvision graphs:
+``inception_v3`` eval mode through the final average pool (BasicConv2d =
+bias-free Conv2d + BatchNorm2d(eps=0.001) + relu), and ``vgg16.features[:23]``
+as the reference's VGGPerceptualLoss slices it
+(/root/reference/lib/components/perceptual_loss.py:12-31).
+
+Random weights WITH random BatchNorm statistics exercise every part of the
+export path: BN folding (utils/export_weights.py), OIHW->HWIO transposes,
+stride/padding specs, avg-pool count_include_pad semantics, and the block
+wiring of utils/inception.py.
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+torch = pytest.importorskip("torch")
+import torch.nn as nn  # noqa: E402
+import torch.nn.functional as F  # noqa: E402
+
+
+def _seed_all(model, seed):
+    """Non-trivial conv weights + BN stats so folding errors can't hide."""
+    gen = torch.Generator().manual_seed(seed)
+    for m in model.modules():
+        if isinstance(m, nn.Conv2d):
+            fan_in = m.in_channels * m.kernel_size[0] * m.kernel_size[1]
+            with torch.no_grad():
+                m.weight.normal_(0.0, (2.0 / fan_in) ** 0.5, generator=gen)
+                if m.bias is not None:
+                    m.bias.normal_(0.0, 0.05, generator=gen)
+        elif isinstance(m, nn.BatchNorm2d):
+            with torch.no_grad():
+                m.weight.uniform_(0.5, 1.5, generator=gen)
+                m.bias.normal_(0.0, 0.1, generator=gen)
+                m.running_mean.normal_(0.0, 0.1, generator=gen)
+                m.running_var.uniform_(0.5, 1.5, generator=gen)
+    model.eval()
+    return model
+
+
+# ---------------------------------------------------------------------------
+# torchvision inception_v3 oracle (eval graph through pool3)
+# ---------------------------------------------------------------------------
+
+
+class BasicConv2d(nn.Module):
+    def __init__(self, cin, cout, **kw):
+        super().__init__()
+        self.conv = nn.Conv2d(cin, cout, bias=False, **kw)
+        self.bn = nn.BatchNorm2d(cout, eps=0.001)
+
+    def forward(self, x):
+        return F.relu(self.bn(self.conv(x)), inplace=True)
+
+
+class InceptionA(nn.Module):
+    def __init__(self, cin, pool_features):
+        super().__init__()
+        self.branch1x1 = BasicConv2d(cin, 64, kernel_size=1)
+        self.branch5x5_1 = BasicConv2d(cin, 48, kernel_size=1)
+        self.branch5x5_2 = BasicConv2d(48, 64, kernel_size=5, padding=2)
+        self.branch3x3dbl_1 = BasicConv2d(cin, 64, kernel_size=1)
+        self.branch3x3dbl_2 = BasicConv2d(64, 96, kernel_size=3, padding=1)
+        self.branch3x3dbl_3 = BasicConv2d(96, 96, kernel_size=3, padding=1)
+        self.branch_pool = BasicConv2d(cin, pool_features, kernel_size=1)
+
+    def forward(self, x):
+        b1 = self.branch1x1(x)
+        b5 = self.branch5x5_2(self.branch5x5_1(x))
+        bd = self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x)))
+        bp = self.branch_pool(F.avg_pool2d(x, kernel_size=3, stride=1, padding=1))
+        return torch.cat([b1, b5, bd, bp], 1)
+
+
+class InceptionB(nn.Module):
+    def __init__(self, cin):
+        super().__init__()
+        self.branch3x3 = BasicConv2d(cin, 384, kernel_size=3, stride=2)
+        self.branch3x3dbl_1 = BasicConv2d(cin, 64, kernel_size=1)
+        self.branch3x3dbl_2 = BasicConv2d(64, 96, kernel_size=3, padding=1)
+        self.branch3x3dbl_3 = BasicConv2d(96, 96, kernel_size=3, stride=2)
+
+    def forward(self, x):
+        b3 = self.branch3x3(x)
+        bd = self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x)))
+        bp = F.max_pool2d(x, kernel_size=3, stride=2)
+        return torch.cat([b3, bd, bp], 1)
+
+
+class InceptionC(nn.Module):
+    def __init__(self, cin, c7):
+        super().__init__()
+        self.branch1x1 = BasicConv2d(cin, 192, kernel_size=1)
+        self.branch7x7_1 = BasicConv2d(cin, c7, kernel_size=1)
+        self.branch7x7_2 = BasicConv2d(c7, c7, kernel_size=(1, 7), padding=(0, 3))
+        self.branch7x7_3 = BasicConv2d(c7, 192, kernel_size=(7, 1), padding=(3, 0))
+        self.branch7x7dbl_1 = BasicConv2d(cin, c7, kernel_size=1)
+        self.branch7x7dbl_2 = BasicConv2d(c7, c7, kernel_size=(7, 1), padding=(3, 0))
+        self.branch7x7dbl_3 = BasicConv2d(c7, c7, kernel_size=(1, 7), padding=(0, 3))
+        self.branch7x7dbl_4 = BasicConv2d(c7, c7, kernel_size=(7, 1), padding=(3, 0))
+        self.branch7x7dbl_5 = BasicConv2d(c7, 192, kernel_size=(1, 7), padding=(0, 3))
+        self.branch_pool = BasicConv2d(cin, 192, kernel_size=1)
+
+    def forward(self, x):
+        b1 = self.branch1x1(x)
+        b7 = self.branch7x7_3(self.branch7x7_2(self.branch7x7_1(x)))
+        bd = self.branch7x7dbl_5(self.branch7x7dbl_4(self.branch7x7dbl_3(
+            self.branch7x7dbl_2(self.branch7x7dbl_1(x)))))
+        bp = self.branch_pool(F.avg_pool2d(x, kernel_size=3, stride=1, padding=1))
+        return torch.cat([b1, b7, bd, bp], 1)
+
+
+class InceptionD(nn.Module):
+    def __init__(self, cin):
+        super().__init__()
+        self.branch3x3_1 = BasicConv2d(cin, 192, kernel_size=1)
+        self.branch3x3_2 = BasicConv2d(192, 320, kernel_size=3, stride=2)
+        self.branch7x7x3_1 = BasicConv2d(cin, 192, kernel_size=1)
+        self.branch7x7x3_2 = BasicConv2d(192, 192, kernel_size=(1, 7), padding=(0, 3))
+        self.branch7x7x3_3 = BasicConv2d(192, 192, kernel_size=(7, 1), padding=(3, 0))
+        self.branch7x7x3_4 = BasicConv2d(192, 192, kernel_size=3, stride=2)
+
+    def forward(self, x):
+        b3 = self.branch3x3_2(self.branch3x3_1(x))
+        b7 = self.branch7x7x3_4(self.branch7x7x3_3(
+            self.branch7x7x3_2(self.branch7x7x3_1(x))))
+        bp = F.max_pool2d(x, kernel_size=3, stride=2)
+        return torch.cat([b3, b7, bp], 1)
+
+
+class InceptionE(nn.Module):
+    def __init__(self, cin):
+        super().__init__()
+        self.branch1x1 = BasicConv2d(cin, 320, kernel_size=1)
+        self.branch3x3_1 = BasicConv2d(cin, 384, kernel_size=1)
+        self.branch3x3_2a = BasicConv2d(384, 384, kernel_size=(1, 3), padding=(0, 1))
+        self.branch3x3_2b = BasicConv2d(384, 384, kernel_size=(3, 1), padding=(1, 0))
+        self.branch3x3dbl_1 = BasicConv2d(cin, 448, kernel_size=1)
+        self.branch3x3dbl_2 = BasicConv2d(448, 384, kernel_size=3, padding=1)
+        self.branch3x3dbl_3a = BasicConv2d(384, 384, kernel_size=(1, 3), padding=(0, 1))
+        self.branch3x3dbl_3b = BasicConv2d(384, 384, kernel_size=(3, 1), padding=(1, 0))
+        self.branch_pool = BasicConv2d(cin, 192, kernel_size=1)
+
+    def forward(self, x):
+        b1 = self.branch1x1(x)
+        b3 = self.branch3x3_1(x)
+        b3 = torch.cat([self.branch3x3_2a(b3), self.branch3x3_2b(b3)], 1)
+        bd = self.branch3x3dbl_2(self.branch3x3dbl_1(x))
+        bd = torch.cat([self.branch3x3dbl_3a(bd), self.branch3x3dbl_3b(bd)], 1)
+        bp = self.branch_pool(F.avg_pool2d(x, kernel_size=3, stride=1, padding=1))
+        return torch.cat([b1, b3, bd, bp], 1)
+
+
+class InceptionV3Pool3(nn.Module):
+    """torchvision.models.inception_v3 eval graph through the 8x8 avg pool
+    (aux classifier and fc omitted — not part of the feature space)."""
+
+    def __init__(self):
+        super().__init__()
+        self.Conv2d_1a_3x3 = BasicConv2d(3, 32, kernel_size=3, stride=2)
+        self.Conv2d_2a_3x3 = BasicConv2d(32, 32, kernel_size=3)
+        self.Conv2d_2b_3x3 = BasicConv2d(32, 64, kernel_size=3, padding=1)
+        self.Conv2d_3b_1x1 = BasicConv2d(64, 80, kernel_size=1)
+        self.Conv2d_4a_3x3 = BasicConv2d(80, 192, kernel_size=3)
+        self.Mixed_5b = InceptionA(192, 32)
+        self.Mixed_5c = InceptionA(256, 64)
+        self.Mixed_5d = InceptionA(288, 64)
+        self.Mixed_6a = InceptionB(288)
+        self.Mixed_6b = InceptionC(768, 128)
+        self.Mixed_6c = InceptionC(768, 160)
+        self.Mixed_6d = InceptionC(768, 160)
+        self.Mixed_6e = InceptionC(768, 192)
+        self.Mixed_7a = InceptionD(768)
+        self.Mixed_7b = InceptionE(1280)
+        self.Mixed_7c = InceptionE(2048)
+
+    def forward(self, x):
+        x = self.Conv2d_2b_3x3(self.Conv2d_2a_3x3(self.Conv2d_1a_3x3(x)))
+        x = F.max_pool2d(x, kernel_size=3, stride=2)
+        x = self.Conv2d_4a_3x3(self.Conv2d_3b_1x1(x))
+        x = F.max_pool2d(x, kernel_size=3, stride=2)
+        for n in ("Mixed_5b", "Mixed_5c", "Mixed_5d", "Mixed_6a", "Mixed_6b",
+                  "Mixed_6c", "Mixed_6d", "Mixed_6e", "Mixed_7a", "Mixed_7b",
+                  "Mixed_7c"):
+            x = getattr(self, n)(x)
+        return torch.mean(x, dim=(2, 3))  # (N, 2048)
+
+
+@pytest.mark.slow
+def test_inception_pool3_matches_torch_oracle():
+    from threedhumangan_tpu.utils.export_weights import export_inception_npz
+    from threedhumangan_tpu.utils.inception import inception_pool3, load_inception_npz
+
+    model = _seed_all(InceptionV3Pool3(), seed=7)
+    x = torch.rand(2, 3, 299, 299, generator=torch.Generator().manual_seed(1))
+    x = x * 2.0 - 1.0
+    with torch.no_grad():
+        ref = model(x).numpy()
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/inc.npz"
+        n = export_inception_npz(path, state_dict=model.state_dict())
+        assert n == 94
+        params = load_inception_npz(path)
+
+    got = np.asarray(inception_pool3(
+        params, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)), resize=False))
+    assert got.shape == ref.shape == (2, 2048)
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got / scale, ref / scale, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# torchvision vgg16.features[:23] oracle (the reference's perceptual taps)
+# ---------------------------------------------------------------------------
+
+
+def _vgg16_features23():
+    """torchvision vgg16 'D' config through features[22] (conv4_3 + relu)."""
+    cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M", 512, 512, 512]
+    layers, cin = [], 3
+    for v in cfg:
+        if v == "M":
+            layers.append(nn.MaxPool2d(2, 2))
+        else:
+            layers += [nn.Conv2d(cin, v, kernel_size=3, padding=1),
+                       nn.ReLU(inplace=True)]
+            cin = v
+    return nn.Sequential(*layers)
+
+
+def test_vgg16_taps_match_torch_oracle():
+    from threedhumangan_tpu.trainers.perceptual import (
+        _IMAGENET_MEAN,
+        _IMAGENET_STD,
+        init_vgg16_features,
+        vgg16_features,
+    )
+    from threedhumangan_tpu.utils.export_weights import export_vgg16_npz
+
+    model = _seed_all(_vgg16_features23(), seed=3)
+    # state_dict keys must be torchvision's features.{idx}.*
+    sd = {f"features.{i}.{k}": v for (i, m) in enumerate(model) if
+          isinstance(m, nn.Conv2d) for k, v in m.state_dict().items()}
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/vgg.npz"
+        assert export_vgg16_npz(path, state_dict=sd) == 10
+        convs = init_vgg16_features(path)
+
+    x01 = torch.rand(2, 3, 64, 64, generator=torch.Generator().manual_seed(2))
+    xin = (x01 - torch.tensor(_IMAGENET_MEAN).view(1, 3, 1, 1)) / \
+        torch.tensor(_IMAGENET_STD).view(1, 3, 1, 1)
+    with torch.no_grad():
+        taps_ref, h = [], xin
+        for i, m in enumerate(model):
+            h = m(h)
+            if i in (3, 8, 15, 22):  # reference slice ends ([:4],[4:9],...)
+                taps_ref.append(h.numpy().transpose(0, 2, 3, 1))
+
+    taps = vgg16_features(convs, jnp.asarray(x01.numpy().transpose(0, 2, 3, 1)))
+    assert len(taps) == len(taps_ref) == 4
+    for a, b in zip(taps, taps_ref):
+        scale = max(np.abs(b).max(), 1e-3)
+        np.testing.assert_allclose(np.asarray(a) / scale, b / scale, atol=1e-5)

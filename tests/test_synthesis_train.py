@@ -199,3 +199,69 @@ def test_fused_train_step_end_to_end():
     assert np.isfinite(g1).all() and np.abs(g1 - g0).max() > 0
     c = ts2.state_G["synthesis_network"]["blocks"][0]["spade_0"]["norm"]["count"]
     assert int(c) == 2  # D-step fakes forward + G-step forward
+
+
+class TestVmemAutoTiling:
+    """tile_rows is computed from the scoped-VMEM model, not guessed
+    (ops/synthesis_train.auto_tile_rows).  Calibration anchor: the MAP3DBN
+    backward at tile_rows=8/width=128/C=384 measured 16.48 MB scoped on v5e
+    (over the 16 MB limit) — the model must (a) reject that point and
+    (b) keep its overestimate bounded so usable tile sizes survive."""
+
+    def test_rejects_the_observed_oom_point(self):
+        from threedhumangan_tpu.ops.synthesis_train import (
+            _VMEM_BUDGET_BYTES,
+            auto_tile_rows,
+            estimate_half_block_vmem,
+        )
+
+        est = estimate_half_block_vmem(8, 128, 384, 384, 384, 128,
+                                       spatial=True, bwd=True)
+        assert est > 16 * 2**20          # the point that OOM'd must not fit
+        assert est < 1.3 * 16.48 * 2**20  # ...but the overestimate is bounded
+        t = auto_tile_rows(256, 128, 384, 384, 384, 128)
+        assert t < 8
+        assert 256 % t == 0
+        assert estimate_half_block_vmem(t, 128, 384, 384, 384, 128,
+                                        spatial=True, bwd=True) <= _VMEM_BUDGET_BYTES
+
+    @pytest.mark.parametrize("H,W,Ci", [
+        (256, 128, 384),   # MAP3DBN
+        (512, 256, 256),   # MAP3DBN512
+        (512, 256, 420),   # MAP3DBN512L
+        (64, 32, 32),      # MAP3DBN_TINY
+    ])
+    def test_config_shapes_fit_and_divide(self, H, W, Ci):
+        from threedhumangan_tpu.ops.synthesis_train import (
+            _VMEM_BUDGET_BYTES,
+            auto_tile_rows,
+            estimate_half_block_vmem,
+        )
+
+        t = auto_tile_rows(H, W, Ci, Ci, Ci, 128)
+        assert t >= 1 and H % t == 0
+        for bwd in (True, False):
+            assert estimate_half_block_vmem(
+                t, W, Ci, Ci, Ci, 128, spatial=True, bwd=bwd) <= _VMEM_BUDGET_BYTES
+
+    def test_estimate_monotone_in_tile_rows(self):
+        from threedhumangan_tpu.ops.synthesis_train import estimate_half_block_vmem
+
+        sizes = [estimate_half_block_vmem(t, 128, 384, 384, 384, 128,
+                                          spatial=True, bwd=True)
+                 for t in (1, 2, 4, 8, 16)]
+        assert sizes == sorted(sizes) and len(set(sizes)) == len(sizes)
+
+    def test_none_tile_rows_auto_sizes(self, rng, block):
+        """tile_rows=None (the production default) runs and matches the
+        explicit-tile fused path exactly — same kernel, auto-chosen tile."""
+        params, state = block
+        x, style, _ = _inputs(rng, spatial=True)
+        ref, _ = syn.apply_spade_block_fused(
+            params, state, x, style, None, skip=True,
+            compute_dtype=jnp.float32, tile_rows=2, interpret=True)
+        got, _ = syn.apply_spade_block_fused(
+            params, state, x, style, None, skip=True,
+            compute_dtype=jnp.float32, tile_rows=None, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)

@@ -28,6 +28,7 @@ def tiny_config():
     return cfg
 
 
+@pytest.mark.slow
 def test_trainer_runs_and_checkpoints(tmp_path_factory, tiny_config):
     out = str(tmp_path_factory.mktemp("train"))
     smpl = synthetic_smpl_model(num_verts=96, num_faces=64)
@@ -65,6 +66,7 @@ def test_trainer_runs_and_checkpoints(tmp_path_factory, tiny_config):
     assert trainer2.step == 4
 
 
+@pytest.mark.slow
 def test_curriculum_boundaries_lr_and_stage_switch(tmp_path_factory):
     """Drive Trainer.run across (a) an lr-only int-key boundary (the
     reference's 140k-style drop, ref configs/map3d.py:4-6) and (b) a

@@ -228,17 +228,34 @@ class Preprocessor:
 
 def load_face_labels(faces: np.ndarray, densepose_path: Optional[str] = None) -> np.ndarray:
     """SMPL face -> DensePose body-part label table (ref get_preprocessor
-    :186-192).  Falls back to a height-binned synthetic labeling when the
-    densepose asset is absent (tests / synthetic data)."""
+    :186-192).
+
+    The shipped ``datasets/densepose_data.json`` (vendored data table —
+    reference ships the identical file) maps each of SMPL's 13,776 faces to
+    a DensePose face index (``smpl_faces_to_densepose_faces``, 13,776
+    entries) and each DensePose face to one of 24 body-part labels
+    (``densepose_faces_to_labels``, 13,774 entries — two fewer faces; every
+    smpl->densepose index is < 13,774 so the chained gather is in range,
+    same as the reference's two torch index ops at preprocessor.py:189-191).
+    The table is only meaningful for the real SMPL topology, so it applies
+    iff ``len(faces)`` matches its row count; synthetic tiny meshes fall
+    back to height-binned pseudo-labels."""
+    repo_root = os.path.normpath(os.path.join(os.path.dirname(__file__), "..", ".."))
     candidates = [densepose_path, "./datasets/densepose_data.json",
-                  "/root/repo/datasets/densepose_data.json"]
+                  os.path.join(repo_root, "datasets", "densepose_data.json")]
     for c in candidates:
         if c and os.path.exists(c):
             with open(c) as f:
                 dp = json.load(f)
             s2d = np.asarray(dp["smpl_faces_to_densepose_faces"], np.int64)
             d2l = np.asarray(dp["densepose_faces_to_labels"], np.int64)
-            return d2l[s2d[np.arange(len(faces))]]
+            if len(faces) == len(s2d):
+                return d2l[s2d]
+            if densepose_path is not None:
+                raise ValueError(
+                    f"densepose table at {c} covers {len(s2d)} faces but the "
+                    f"SMPL model has {len(faces)}")
+            continue  # synthetic tiny mesh: table does not apply
     # synthetic: bin faces into 24 pseudo-parts by face index
     return (np.arange(len(faces)) * 24 // max(len(faces), 1)).astype(np.int64)
 

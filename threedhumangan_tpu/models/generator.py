@@ -102,9 +102,10 @@ def _synthesis_meta(meta) -> Dict:
         "mod_blocks": tuple(meta["mod_blocks"]),
         "spatial_normalization": meta.get("spatial_normalization", "instance_norm"),
         "map3d_mode": meta.get("map3d_mode", "isolated"),
-        # trainable fused half-block kernels (ops/synthesis_train.py)
+        # trainable fused half-block kernels (ops/synthesis_train.py);
+        # tile_rows default None = auto-sized from the scoped-VMEM model
         "fused_train": meta.get("pallas_synthesis_train", False),
-        "fused_tile_rows": meta.get("pallas_synthesis_train_tile_rows", 8),
+        "fused_tile_rows": meta.get("pallas_synthesis_train_tile_rows", None),
         "fused_interpret": meta.get("pallas_interpret", False),
     }
 
@@ -221,7 +222,9 @@ def render(
             noise_col = noise_std * jax.random.normal(k_noise, (B, n_points, 1))
         common = dict(
             num_steps=num_steps,
-            tile_rays=meta.get("pallas_tile_rays", 64),
+            # clamp: small configs (TINY/NANO) have fewer rays than a tile
+            tile_rays=min(meta.get("pallas_tile_rays", 64),
+                          render_w * render_h),
             white_back=meta.get("white_back", False),
             last_back=meta.get("last_back", False),
             compute_dtype=compute_dtype,
@@ -471,6 +474,7 @@ def generator_forward(
             map3d_mode=meta.get("map3d_mode", "isolated"),
             tile_rows=meta.get("pallas_synthesis_tile_rows", 2),
             compute_dtype=compute_dtype,
+            blocks_per_stage=meta.get("pallas_synthesis_blocks_per_stage", 4),
         )
         output = {"rgbs": rgbs, "rgbs_render": rgb_render}
     else:

@@ -382,7 +382,8 @@ def apply_spade_block(
 
 def apply_spade_block_fused(
     params, state, x, style, fixed_row, skip=False, axis_name=None,
-    compute_dtype=jnp.bfloat16, tile_rows: int = 8, interpret: bool = False,
+    compute_dtype=jnp.bfloat16, tile_rows: Optional[int] = None,
+    interpret: bool = False,
 ):
     """apply_spade_block (batch_norm, train=True) on the fused Pallas
     half-block kernels (ops/synthesis_train.py).
@@ -393,6 +394,8 @@ def apply_spade_block_fused(
     with a custom VJP.  ``style``: (B, H, W, Cs) spatial map, or a global
     (B, 1, Cs) vector (rank-1 gamma/beta path); ``fixed_row``: optional
     (B, Cs) row added to a spatial style in-kernel (mixed/all modes).
+    ``tile_rows=None`` sizes each half-block's pixel tile from the
+    scoped-VMEM model (ops/synthesis_train.auto_tile_rows).
     """
     from threedhumangan_tpu.ops.synthesis_train import (
         spade_half_block_rank1,
@@ -620,7 +623,7 @@ def apply_synthesis_network(
             block_fn = functools.partial(
                 apply_spade_block_fused, skip=skip, axis_name=axis_name,
                 compute_dtype=compute_dtype,
-                tile_rows=meta.get("fused_tile_rows", 8),
+                tile_rows=meta.get("fused_tile_rows", None),
                 interpret=meta.get("fused_interpret", False))
             if remat:
                 block_fn = jax.checkpoint(block_fn)

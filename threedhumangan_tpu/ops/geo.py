@@ -142,9 +142,9 @@ def geo_features_pallas(
     skel = skeletons.astype(jnp.float32)                        # (B, J, 3)
     ssq = jnp.sum(jnp.square(skel), axis=-1)[..., None]         # (B, J, 1)
 
-    pts_t = jnp.swapaxes(points.astype(jnp.float32), 1, 2)      # (B, 3, P)
+    pts_t = jnp.swapaxes(points.astype(jnp.float32), 1, 2)      # (B, 3, Pp)
     ptsa = jnp.concatenate(
-        [-pts_t, jnp.ones((B, 1, Pp), pts_t.dtype)], axis=1)    # (B, 4, P)
+        [-pts_t, jnp.ones((B, 1, Pp), pts_t.dtype)], axis=1)    # (B, 4, Pp)
 
     kernel = functools.partial(_geo_kernel, legacy_mode=legacy_mode)
 

@@ -321,8 +321,8 @@ def fused_field_render(
     R = P // num_steps
     assert R % tile_rays == 0, (R, tile_rays)
     n_tiles = R // tile_rays
-    if march_loop or num_steps % step_pack:
-        step_pack = 1
+    if march_loop or step_pack < 1 or num_steps % step_pack:
+        step_pack = 1  # loop mode, invalid, or non-dividing values coerce to 1
 
     weights = _flatten_field_params(field_params)
     names = tuple(sorted(weights))

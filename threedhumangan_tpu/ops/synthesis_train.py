@@ -55,6 +55,89 @@ _LRELU = lambda x: jnp.maximum(x, 0) + 0.2 * jnp.minimum(x, 0)
 _MLP_NAMES = ("sh_w", "sh_b", "g_w", "g_b", "bt_w", "bt_b")
 
 
+# ---------------------------------------------------------------------------
+# VMEM budgeting — tile_rows is computed, not guessed
+# ---------------------------------------------------------------------------
+
+# Model budget against the ~16 MB scoped-VMEM compiler limit.  The estimator
+# below OVERESTIMATES by ~10-15% (calibrated on v5e: the MAP3DBN backward at
+# tile_rows=8/width=128/C=384 measures 16.48 MB scoped vs 18.5 MB estimated),
+# so a 14 MB model budget corresponds to ~12.5 MB actual — comfortable
+# headroom without throwing away tile size.
+_VMEM_BUDGET_BYTES = 14 * 2**20
+
+
+def _pad_lanes(c: int) -> int:
+    return -(-c // 128) * 128
+
+
+def estimate_half_block_vmem(
+    tile_rows: int, width: int, ci: int, cs: int, co: int, hid: int,
+    *, spatial: bool, bwd: bool, cdt_bytes: int = 2,
+) -> int:
+    """Scoped-VMEM bytes for ONE grid step of the half-block kernel.
+
+    Terms (all channel dims padded to the 128-lane width):
+      * grid-varying pixel tiles (h/style/g in, dh/dsty/out out) are
+        double-buffered by the Pallas pipeline -> x2;
+      * resident weights (conv + SPADE MLP, compute dtype) and, in the
+        backward, their f32 accumulator output blocks (constant index, so
+        single-buffered);
+      * live f32 per-pixel temporaries of the compute chain — the forward
+        keeps ~2 Ci-wide buffers live (nhat -> u -> s -> t reuse), the
+        backward ~5 (nhat, u32, dt/ds/du chain) plus the MLP's hid-wide
+        activations.
+    """
+    P = tile_rows * width
+    ci_p, cs_p, co_p, hid_p = map(_pad_lanes, (ci, cs, co, hid))
+
+    io_px = ci_p * cdt_bytes + (cs_p * cdt_bytes if spatial else 0)  # h (+style) in
+    if bwd:
+        io_px += co_p * cdt_bytes                                    # g in
+        io_px += ci_p * cdt_bytes + (cs_p * cdt_bytes if spatial else 0)  # dh (+dsty)
+    else:
+        io_px += co_p * cdt_bytes                                    # out
+    tiles = 2 * io_px * P  # double-buffered
+
+    weights = ci_p * co_p * cdt_bytes
+    if spatial:
+        weights += (cs_p * hid_p + 2 * hid_p * ci_p) * cdt_bytes
+    acc = 0
+    if bwd:
+        acc = ci_p * co_p * 4
+        if spatial:
+            acc += (cs_p * hid_p + 2 * hid_p * ci_p) * 4
+
+    live = (5 * ci_p + (2 * hid_p if spatial else 0)) if bwd \
+        else (2 * ci_p + (hid_p if spatial else 0))
+    temps = live * 4 * P
+    return tiles + weights + acc + temps
+
+
+def auto_tile_rows(
+    H: int, width: int, ci: int, cs: int, co: int, hid: int = 128,
+    *, spatial: bool = True, cdt_bytes: int = 2, max_rows: int = 16,
+    budget: int = _VMEM_BUDGET_BYTES,
+) -> int:
+    """Largest ``tile_rows`` dividing ``H`` whose forward AND backward
+    half-block kernels fit the scoped-VMEM budget.  Replaces the static
+    tile_rows=8 default that failed to compile at MAP3DBN stock shapes
+    (16.48 MB scoped vs the 16 MB limit)."""
+    for t in sorted((t for t in range(1, min(H, max_rows) + 1) if H % t == 0),
+                    reverse=True):
+        need = max(
+            estimate_half_block_vmem(t, width, ci, cs, co, hid,
+                                     spatial=spatial, bwd=True,
+                                     cdt_bytes=cdt_bytes),
+            estimate_half_block_vmem(t, width, ci, cs, co, hid,
+                                     spatial=spatial, bwd=False,
+                                     cdt_bytes=cdt_bytes),
+        )
+        if need <= budget:
+            return t
+    return 1
+
+
 def _mm(x, w, cdt):
     return jax.lax.dot_general(
         x.astype(cdt), w.astype(cdt), (((1,), (0,)), ((), ())),
@@ -438,14 +521,21 @@ def spade_half_block_spatial(
     mlp: Dict[str, jax.Array],  # {sh_w, sh_b, g_w, g_b, bt_w, bt_b}
     w: jax.Array,              # (Ci, Co) spectral-normalized conv weight
     c: jax.Array,              # (Co,) conv bias
-    tile_rows: int = 8,
+    tile_rows: Optional[int] = None,
     compute_dtype=jnp.bfloat16,
     interpret: bool = False,
 ) -> jax.Array:
     """Fused norm+SPADE+lrelu+conv with per-pixel gamma/beta from the MLP.
 
+    ``tile_rows=None`` (the default) sizes the pixel tile from the
+    scoped-VMEM model (auto_tile_rows) instead of a static guess.
     Differentiable in every tensor argument (see module docstring for the
     m/r moment-chain contract)."""
+    if tile_rows is None:
+        tile_rows = auto_tile_rows(
+            h.shape[1], h.shape[2], h.shape[3], style.shape[3], w.shape[1],
+            mlp["sh_w"].shape[1], spatial=True,
+            cdt_bytes=jnp.dtype(compute_dtype).itemsize)
     fn = _make_half_block(True, fixed is not None, tile_rows, compute_dtype,
                           interpret)
     return fn(h, style, fixed, None, None, m, r, a, b, mlp, w, c)
@@ -461,11 +551,16 @@ def spade_half_block_rank1(
     b: jax.Array,
     w: jax.Array,
     c: jax.Array,
-    tile_rows: int = 8,
+    tile_rows: Optional[int] = None,
     compute_dtype=jnp.bfloat16,
     interpret: bool = False,
 ) -> jax.Array:
     """Fused half-block for global-style blocks: gamma/beta are per-image
-    rows computed (differentiably) outside from the fixed style."""
+    rows computed (differentiably) outside from the fixed style.
+    ``tile_rows=None`` auto-sizes from the scoped-VMEM model."""
+    if tile_rows is None:
+        tile_rows = auto_tile_rows(
+            h.shape[1], h.shape[2], h.shape[3], 0, w.shape[1], 0,
+            spatial=False, cdt_bytes=jnp.dtype(compute_dtype).itemsize)
     fn = _make_half_block(False, False, tile_rows, compute_dtype, interpret)
     return fn(h, None, None, gam, bet, m, r, a, b, None, w, c)
