@@ -7,6 +7,11 @@ the first ``import jax`` anywhere in the test process.
 
 import os
 
+# XLA:CPU AOT cache hits log a benign per-load ERROR about the
+# prefer-no-scatter/gather tuning pseudo-features (same physical host,
+# cosmetic mismatch) — silence C++ logging; failures surface as Python
+# exceptions regardless.
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "--xla_force_host_platform_device_count" not in _flags:

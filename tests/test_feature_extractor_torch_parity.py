@@ -193,7 +193,6 @@ class InceptionV3Pool3(nn.Module):
         return torch.mean(x, dim=(2, 3))  # (N, 2048)
 
 
-@pytest.mark.slow
 def test_inception_pool3_matches_torch_oracle():
     from threedhumangan_tpu.utils.export_weights import export_inception_npz
     from threedhumangan_tpu.utils.inception import inception_pool3, load_inception_npz
