@@ -40,7 +40,8 @@ def test_fused_kernel_matches_xla_path(rng, white_back, last_back):
     out, depth = fused_field_render(
         params, packed, freq, phase, z_vals, num_steps=S, tile_rays=4,
         white_back=white_back, last_back=last_back,
-        compute_dtype=jnp.float32, interpret=True, exact_sin=True)
+        compute_dtype=jnp.float32, interpret=True, exact_sin=True,
+        fold_film=False)
 
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(np.asarray(depth), np.asarray(ref_depth), rtol=2e-4, atol=2e-5)
@@ -155,7 +156,8 @@ def test_fused_kernel_noise_column_matches_xla(rng):
     packed = pack_field_inputs(points, geo, dirs, 0.7, noise=noise)
     out, depth = fused_field_render(
         params, packed, freq, phase, z_vals, num_steps=S, tile_rays=4,
-        white_back=True, compute_dtype=jnp.float32, interpret=True, exact_sin=True)
+        white_back=True, compute_dtype=jnp.float32, interpret=True,
+        exact_sin=True, fold_film=False)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(np.asarray(depth), np.asarray(ref_depth), rtol=2e-4, atol=2e-5)
 
@@ -253,7 +255,7 @@ def test_trainable_render_grads_match_xla_chain(rng):
         out, depth = fused_field_render_trainable(
             p, packed, f, ph, z_vals, num_steps=S, tile_rays=4,
             white_back=True, compute_dtype=jnp.float32, interpret=True,
-            exact_sin=True)
+            exact_sin=True, fold_film=False)
         return jnp.sum(out * out) + jnp.sum(depth)
 
     def loss_xla(p, f, ph):
@@ -296,7 +298,8 @@ def test_march_loop_matches_unrolled(rng):
     packed = pack_field_inputs(points, geo, dirs, scale)
 
     kw = dict(num_steps=S, tile_rays=4, white_back=True,
-              compute_dtype=jnp.float32, interpret=True, exact_sin=True)
+              compute_dtype=jnp.float32, interpret=True, exact_sin=True,
+              fold_film=False)
     out_u, depth_u = fused_field_render(params, packed, freq, phase, z_vals, **kw)
     out_l, depth_l = fused_field_render(params, packed, freq, phase, z_vals,
                                         march_loop=True, **kw)
@@ -385,10 +388,13 @@ def test_trainable_pallas_bwd_grads_match(rng):
             return jnp.sum(out * out) + jnp.sum(depth * depth)
         return f
 
+    # fold_film=False: this test pins the BACKWARD kernel against the XLA
+    # vjp through op-order-identical primals; the folded forward (whose
+    # primal rounding would shift the cotangents) is covered separately.
     tr = loss(lambda p, fr, ph: fused_field_render_trainable(
         p, packed, fr, ph, z_vals, num_steps=S, tile_rays=4,
         white_back=True, compute_dtype=jnp.float32, interpret=True,
-        exact_sin=True, pallas_bwd=True))
+        exact_sin=True, pallas_bwd=True, fold_film=False))
     xla = loss(lambda p, fr, ph: _xla_packed_render(
         p, packed, fr, ph, z_vals, S, True, False, jnp.float32, True))
 
@@ -398,3 +404,74 @@ def test_trainable_pallas_bwd_grads_match(rng):
                     jax.tree_util.tree_leaves(g_x)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=3e-4, atol=3e-5)
+
+
+@pytest.mark.parametrize("step_pack,with_noise,white_back,last_back",
+                         [(1, False, True, False), (2, True, False, True),
+                          (4, False, False, False)])
+def test_folded_kernel_matches_unfolded(rng, step_pack, with_noise,
+                                        white_back, last_back):
+    """The folded-FiLM group-loop kernel (fold_film=True, the production
+    path) vs the unfolded reference kernel.  Folding changes matmul
+    reduction order (w*f pre-scale), so the comparison is tolerance-based
+    on tame conditioning, not bit-exact — same rationale as the fast_sin
+    closeness test."""
+    B, R, S = 2, 8, 4
+    H, G, F, NB = 16, 31, 8, 4
+    P = R * S
+    scale = 2.0 / 2.85
+
+    params = init_coordconcat_siren(rng, 3, H, G, F, NB)
+    ks = jax.random.split(rng, 6)
+    points = 0.5 * jax.random.normal(ks[0], (B, P, 3))
+    geo = 0.3 * jax.random.normal(ks[1], (B, P, G))
+    # per-RAY dirs repeated over steps — the folded kernel's contract
+    # (every production caller expands ray dirs this way)
+    dirs = jnp.repeat(jax.random.normal(ks[2], (B, R, 3)), S, axis=1)
+    freq = 0.1 * jax.random.normal(ks[3], (B, NB * H))
+    phase = 0.1 * jax.random.normal(ks[4], (B, NB * H))
+    z_vals = jnp.sort(jax.random.uniform(ks[5], (B, R, S)) + 1.0, axis=-1)
+    noise = 0.5 * jax.random.normal(ks[5], (B, P, 1)) if with_noise else None
+    packed = pack_field_inputs(points, geo, dirs, scale, noise=noise)
+
+    kw = dict(num_steps=S, tile_rays=4, white_back=white_back,
+              last_back=last_back, compute_dtype=jnp.float32, interpret=True,
+              exact_sin=True)
+    out_u, depth_u = fused_field_render(
+        params, packed, freq, phase, z_vals, fold_film=False, **kw)
+    out_f, depth_f = fused_field_render(
+        params, packed, freq, phase, z_vals, fold_film=True,
+        step_pack=step_pack, **kw)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_u),
+                               rtol=2e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(depth_f), np.asarray(depth_u),
+                               rtol=2e-3, atol=1e-4)
+
+
+def test_folded_kernel_bf16_slabs_reasonable(rng):
+    """Folded path at compute_dtype=bf16 (the production dtype: packed
+    slabs are stored bf16) stays within bf16-level distance of the f32
+    unfolded kernel — guards the bf16 packed-slab cast."""
+    B, R, S = 1, 8, 4
+    H, G, F, NB = 16, 31, 8, 4
+    P = R * S
+    params = init_coordconcat_siren(rng, 3, H, G, F, NB)
+    ks = jax.random.split(rng, 6)
+    points = 0.5 * jax.random.normal(ks[0], (B, P, 3))
+    geo = 0.3 * jax.random.normal(ks[1], (B, P, G))
+    dirs = jnp.repeat(jax.random.normal(ks[2], (B, R, 3)), S, axis=1)
+    freq = 0.1 * jax.random.normal(ks[3], (B, NB * H))
+    phase = 0.1 * jax.random.normal(ks[4], (B, NB * H))
+    z_vals = jnp.sort(jax.random.uniform(ks[5], (B, R, S)) + 1.0, axis=-1)
+    packed = pack_field_inputs(points, geo, dirs, 0.7)
+
+    out_u, _ = fused_field_render(
+        params, packed, freq, phase, z_vals, num_steps=S, tile_rays=4,
+        white_back=True, compute_dtype=jnp.float32, interpret=True,
+        exact_sin=True, fold_film=False)
+    out_f, _ = fused_field_render(
+        params, packed, freq, phase, z_vals, num_steps=S, tile_rays=4,
+        white_back=True, compute_dtype=jnp.bfloat16, interpret=True,
+        exact_sin=True, fold_film=True, step_pack=2)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_u),
+                               rtol=0.15, atol=0.05)

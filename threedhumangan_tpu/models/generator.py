@@ -233,8 +233,14 @@ def render(
             # tile_rays >= 128 (ops/raymarch._march docstring)
             march_loop=meta.get("pallas_march_loop", False),
             # stack N step slabs per SIREN eval: matmul M = N*tile_rays
-            # fills the 128-row MXU at tile_rays=64 (unroll mode only)
+            # fills the 128-row MXU at tile_rays=64 and amortizes MXU
+            # weight loads (which equal compute passes at M=128)
             step_pack=meta.get("pallas_step_pack", 2),
+            # fold freq/phase + omega into per-image weight tables and run
+            # the step axis as a fori_loop over step_pack-sized groups —
+            # the kernel is VPU-bound and folding deletes the per-element
+            # FiLM mul/add (ops/raymarch._fused_field_render_folded)
+            fold_film=meta.get("pallas_fold_film", True),
         )
         z_flat = z_vals.reshape(B, render_w * render_h, num_steps)
         if fuse_geo:
@@ -245,6 +251,7 @@ def render(
                 "pallas_geo_tile_rays", min(common["tile_rays"], 32))
             common.pop("march_loop")  # geo-fused kernel is unroll-only
             common.pop("step_pack")   # and single-step-slab only
+            common.pop("fold_film")   # folding lives in the plain kernel
             # per-vertex [blended inverse-FK (16); tpose (3)] table — the
             # only XLA-side geo prep; KNN + gather + canonicalization all
             # happen inside the kernel

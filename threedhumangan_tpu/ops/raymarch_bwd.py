@@ -59,18 +59,16 @@ from threedhumangan_tpu.ops.raymarch import (
 
 def fast_sin_grad(x):
     """Exact derivative of ``fast_sin`` (term-by-term polynomial
-    derivative of the degree-7 minimax; the range-reduction offset k is
-    piecewise constant)."""
+    derivative of the degree-9 minimax; the 2*pi range-reduction offset k
+    is piecewise constant)."""
     from threedhumangan_tpu.ops.raymarch import (
-        _SIN_C1, _SIN_C3, _SIN_C5, _SIN_C7)
+        _INV_2PI, _TWO_PI, _SIN_C1, _SIN_C3, _SIN_C5, _SIN_C7, _SIN_C9)
 
-    inv_pi = 0.3183098861837907
-    k = jnp.round(x * inv_pi)
-    y = x - k * jnp.pi
+    k = jnp.round(x * _INV_2PI)
+    y = x - k * _TWO_PI
     y2 = y * y
-    q = _SIN_C1 + y2 * (3.0 * _SIN_C3 + y2 * (5.0 * _SIN_C5 + y2 * (7.0 * _SIN_C7)))
-    sign = 1.0 - 2.0 * (k - 2.0 * jnp.floor(k * 0.5))
-    return q * sign
+    return _SIN_C1 + y2 * (3.0 * _SIN_C3 + y2 * (5.0 * _SIN_C5 + y2 * (
+        7.0 * _SIN_C7 + y2 * (9.0 * _SIN_C9))))
 
 
 def _grad_names(weight_names):
