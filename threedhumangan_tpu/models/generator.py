@@ -201,7 +201,7 @@ def render(
                              legacy_mode=meta.get("legacy_mode", False),
                              use_pallas_knn=meta.get("pallas_knn", False),
                              use_pallas_geo=meta.get("pallas_geo", False),
-                             geo_tile_points=meta.get("pallas_geo_tile_points", 128),
+                             geo_tile_points=meta.get("pallas_geo_tile_points"),
                              interpret=meta.get("pallas_interpret", False)))
 
     if use_pallas:
@@ -481,7 +481,10 @@ def generator_forward(
             map3d_mode=meta.get("map3d_mode", "isolated"),
             tile_rows=meta.get("pallas_synthesis_tile_rows", 2),
             compute_dtype=compute_dtype,
-            blocks_per_stage=meta.get("pallas_synthesis_blocks_per_stage", 4),
+            # None -> largest VMEM-fitting stage (auto_synth_stages); at
+            # 512x256x420 that is all 9 blocks in ONE stage (no bf16 HBM
+            # round-trip of the carry between stages)
+            blocks_per_stage=meta.get("pallas_synthesis_blocks_per_stage"),
         )
         output = {"rgbs": rgbs, "rgbs_render": rgb_render}
     else:

@@ -338,7 +338,7 @@ def get_geo_features(
     legacy_mode: bool = False,
     use_pallas_knn: bool = False,
     use_pallas_geo: bool = False,
-    geo_tile_points: int = 128,
+    geo_tile_points: int | None = None,  # None -> auto_geo_tile (VMEM fit)
     interpret: bool = False,
 ) -> jax.Array:
     """Per-point 31-d geometric conditioning (ref smpl.py:210-249).

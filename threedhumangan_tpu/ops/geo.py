@@ -49,6 +49,20 @@ from jax.experimental.pallas import tpu as pltpu
 GEO_DIM = 31  # 3 cano + 24 joint dists + 3 tpose + 1 nearest dist
 
 
+def auto_geo_tile(n_vertices_padded: int, budget: int = 14 * 2 ** 20) -> int:
+    """Largest power-of-two point tile whose (Vp, T) f32 distance tile fits
+    the scoped-VMEM budget.  The elementwise argmin work is T-independent
+    (B*P*Vp total either way) but bigger tiles amortize the per-tile matmul
+    ramp and grid overhead: measured on v5e at 512L shapes (Vp=6912),
+    tile 128 -> 35.9 ms/batch8, 512 -> 22.4 ms; 1024 exceeds VMEM and does
+    not compile.  14 MB leaves room for the (19, Vp) feature table and the
+    double-buffered point/output tiles."""
+    t = 1024
+    while t > 128 and n_vertices_padded * t * 4 > budget:
+        t //= 2
+    return t
+
+
 def _geo_kernel(pts_ref, va_ref, vfeat_ref, skel_ref, ssq_ref,
                 out_ref, *, legacy_mode):
     """One (4, T) tile of augmented points [-p; 1] -> (31, T) geo features."""
@@ -114,12 +128,15 @@ def geo_features_pallas(
     vfeat: jax.Array,       # (B, V, 19) [blended inverse-FK 16; tpose 3]
     skeletons: jax.Array,   # (B, J, 3)
     legacy_mode: bool = False,
-    tile_points: int = 128,
+    tile_points: int | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Returns (B, P, 31) f32 geo features (models.smpl.get_geo_features
-    semantics, ref smpl.py:210-249)."""
+    semantics, ref smpl.py:210-249).  ``tile_points=None`` picks the
+    largest VMEM-fitting point tile (`auto_geo_tile`)."""
     B, P, _ = points.shape
+    if tile_points is None:
+        tile_points = auto_geo_tile(vertices.shape[1] + (-vertices.shape[1]) % 128)
     pad_p = (-P) % tile_points
     if pad_p:
         points = jnp.pad(points, ((0, 0), (0, pad_p), (0, 0)))

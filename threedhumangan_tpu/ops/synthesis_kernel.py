@@ -59,10 +59,6 @@ def fold_synthesis_params(params: Dict, state: Dict, syn_input_params: Dict,
             sp = bp[f"spade_{si}"]
             flat[f"b{i}_sp{si}_sh_w"] = sp["mlp_shared"]["w"]
             flat[f"b{i}_sp{si}_sh_b"] = sp["mlp_shared"]["b"][None]
-            flat[f"b{i}_sp{si}_g_w"] = sp["mlp_gamma"]["w"]
-            flat[f"b{i}_sp{si}_g_b"] = sp["mlp_gamma"]["b"][None]
-            flat[f"b{i}_sp{si}_bt_w"] = sp["mlp_beta"]["w"]
-            flat[f"b{i}_sp{si}_bt_b"] = sp["mlp_beta"]["b"][None]
             if normalization == "batch_norm":
                 ns = bs[f"spade_{si}"]["norm"]
                 a = sp["norm"]["scale"] * jax.lax.rsqrt(ns["var"] + 1e-5)
@@ -72,10 +68,21 @@ def fold_synthesis_params(params: Dict, state: Dict, syn_input_params: Dict,
                 a = jax.lax.rsqrt(ns["var"] + 1e-5)
                 b = -ns["mean"] * a
             else:  # instance/none handled outside the folded path
-                a = jnp.ones((flat[f"b{i}_sp{si}_g_w"].shape[1],))
+                a = jnp.ones((sp["mlp_gamma"]["w"].shape[1],))
                 b = jnp.zeros_like(a)
-            flat[f"b{i}_sp{si}_norm_a"] = a[None]
-            flat[f"b{i}_sp{si}_norm_b"] = b[None]
+            # fold the norm affine (a, b) INTO the gamma/beta MLP weights:
+            #   a*(x_norm)*gamma + ... == x * gamma' + beta'  with
+            #   gamma' = actv@(g_w*a) + a*(1+g_b)
+            #   beta'  = actv@(g_w*b + bt_w) + b*(1+g_b) + bt_b
+            # so the kernel applies ONE fma per element instead of the
+            # norm pass + (1+gamma) modulate (the synthesis kernel is
+            # partially VPU-bound; ref map3d_layers.py:153-190 semantics)
+            g_w, g_b = sp["mlp_gamma"]["w"], sp["mlp_gamma"]["b"][None]
+            bt_w, bt_b = sp["mlp_beta"]["w"], sp["mlp_beta"]["b"][None]
+            flat[f"b{i}_sp{si}_g_w"] = g_w * a[None]
+            flat[f"b{i}_sp{si}_g_b"] = (1.0 + g_b) * a[None]
+            flat[f"b{i}_sp{si}_bt_w"] = g_w * b[None] + bt_w
+            flat[f"b{i}_sp{si}_bt_b"] = (1.0 + g_b) * b[None] + bt_b
         flat[f"b{i}_rgb_w"] = params["to_rgbs"][i]["w"]
         flat[f"b{i}_rgb_b"] = params["to_rgbs"][i]["b"][None]
     return flat
@@ -171,15 +178,14 @@ def _synthesis_kernel(
                 gb = gab_ref[0, row + 1 : row + 2, :].astype(cd)
                 x = _LRELU(x * ga + gb).astype(cd)
             else:
-                a = W[f"b{i}_sp{si}_norm_a"].astype(cd)
-                b = W[f"b{i}_sp{si}_norm_b"].astype(cd)
-                normed = x * a + b
+                # norm affine pre-folded into the gamma/beta weights
+                # (fold_synthesis_params): one fma per element
                 actv = jnp.maximum(
                     mm(in_style, W[f"b{i}_sp{si}_sh_w"]) + W[f"b{i}_sp{si}_sh_b"], 0.0
                 ).astype(cd)
-                gamma = (1.0 + mm(actv, W[f"b{i}_sp{si}_g_w"]) + W[f"b{i}_sp{si}_g_b"]).astype(cd)
+                gamma = (mm(actv, W[f"b{i}_sp{si}_g_w"]) + W[f"b{i}_sp{si}_g_b"]).astype(cd)
                 beta = (mm(actv, W[f"b{i}_sp{si}_bt_w"]) + W[f"b{i}_sp{si}_bt_b"]).astype(cd)
-                x = _LRELU(normed * gamma + beta).astype(cd)
+                x = _LRELU(x * gamma + beta).astype(cd)
             x = (mm(x, W[f"b{i}_conv{si}_w"]) + W[f"b{i}_conv{si}_b"]).astype(cd)
 
         if i >= num_blocks // 2 and x.shape[-1] == x_orig.shape[-1]:
@@ -193,6 +199,37 @@ def _synthesis_kernel(
     if rgb is None:
         rgb = jnp.zeros((P, 3), jnp.float32)
     rgb_out_ref[0] = rgb.reshape(tile_rows, width, 3)
+
+
+def auto_synth_stages(num_blocks, hidden, style_dim, tile_rows, width,
+                      rank1_blocks, budget=int(15 * 2 ** 20)):
+    """Largest blocks_per_stage whose worst stage fits the scoped-VMEM
+    budget: resident stage weights + double-buffered style/x tiles + the
+    per-pixel activation working set.  Fewer stages = fewer (B, H, W,
+    hidden) bf16 HBM round-trips at the stage boundaries (the kernel's
+    measured remaining gap).  Calibrated on v5e at 512x256 width 420:
+    tile_rows 2 runs all 9 blocks in one stage; tile_rows 4 needs 4-block
+    stages."""
+    P = tile_rows * width
+
+    def stage_cost(start, end):
+        wbytes = 0
+        for i in range(start, end):
+            wbytes += 2 * hidden * hidden * 2 + hidden * 3 * 2  # convs+rgb
+            if i not in rank1_blocks:
+                wbytes += (style_dim * 128 + 2 * 128 * hidden) * 2 * 2
+        has_style = any(i not in rank1_blocks for i in range(start, end))
+        tiles = 4 * P * hidden * 2  # x in/out, double-buffered
+        if has_style:
+            tiles += 2 * P * style_dim * 2
+        act = P * hidden * 2 * 4  # ~2 live f32 (P, hidden) temporaries
+        return wbytes + tiles + act
+
+    for bps in range(num_blocks, 0, -1):
+        if all(stage_cost(s, min(s + bps, num_blocks)) <= budget
+               for s in range(0, num_blocks, bps)):
+            return bps
+    return 1
 
 
 @functools.partial(
@@ -211,16 +248,23 @@ def fused_synthesis(
                          # 4: 35.6} imgs/sec/chip end-to-end; 8 OOMs VMEM
     compute_dtype=jnp.bfloat16,
     interpret: bool = False,
-    blocks_per_stage: int = 4,
+    blocks_per_stage: int | None = None,
 ) -> jax.Array:
     """Returns rgb (B, H, W, 3) float32.
 
     Runs the network in ceil(num_blocks / blocks_per_stage) fused stages so
     each stage's weights fit the 16 MB VMEM budget at width 420.
+    ``blocks_per_stage=None`` picks the largest stage the VMEM model says
+    fits (`auto_synth_stages`).
     """
     B, H, Wd, F = style_map.shape
     assert H % tile_rows == 0
     hidden = folded["b0_conv0_w"].shape[1]
+    if blocks_per_stage is None:
+        _rank1 = ([] if map3d_mode == "all" else
+                  [i for i in range(num_blocks) if i not in mod_blocks])
+        blocks_per_stage = auto_synth_stages(
+            num_blocks, hidden, F, tile_rows, Wd, _rank1)
 
     cast = lambda d: {
         n: (w.astype(compute_dtype) if n.endswith("_w") else w.astype(jnp.float32))
@@ -242,17 +286,15 @@ def fused_synthesis(
         rows = []
         for i in rank1_blocks:
             for si in (0, 1):
+                # the norm affine is pre-folded into g/bt, so these ARE
+                # the (ga, gb) rows of x -> lrelu(x*ga + gb) directly
                 actv = jnp.maximum(
                     fx @ folded[f"b{i}_sp{si}_sh_w"].astype(compute_dtype)
                     + folded[f"b{i}_sp{si}_sh_b"], 0.0).astype(compute_dtype)
-                gamma = (1.0 + actv @ folded[f"b{i}_sp{si}_g_w"].astype(compute_dtype)
-                         + folded[f"b{i}_sp{si}_g_b"])
-                beta = (actv @ folded[f"b{i}_sp{si}_bt_w"].astype(compute_dtype)
-                        + folded[f"b{i}_sp{si}_bt_b"])
-                a = folded[f"b{i}_sp{si}_norm_a"]
-                b = folded[f"b{i}_sp{si}_norm_b"]
-                rows.append(a * gamma)              # ga: x * (a * gamma)
-                rows.append(b * gamma + beta)       # gb
+                rows.append(actv @ folded[f"b{i}_sp{si}_g_w"].astype(compute_dtype)
+                            + folded[f"b{i}_sp{si}_g_b"])
+                rows.append(actv @ folded[f"b{i}_sp{si}_bt_w"].astype(compute_dtype)
+                            + folded[f"b{i}_sp{si}_bt_b"])
         gab = jnp.stack(rows, axis=1).astype(jnp.float32)  # (B, n_rows, hidden)
 
     grid = (B, H // tile_rows)
