@@ -75,6 +75,7 @@ def test_sharded_grads_match_single_device(rng):
     np.testing.assert_allclose(np.asarray(g_full), np.asarray(g_sharded), atol=1e-5)
 
 
+@pytest.mark.slow
 @pytest.mark.filterwarnings("ignore")
 def test_dryrun_multichip_entry():
     import importlib.util, os
@@ -129,6 +130,7 @@ def test_sequence_parallel_render_matches_single_device(rng):
     np.testing.assert_allclose(np.asarray(got_depth), np.asarray(ref_depth), rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_mesh_train_pair_matches_plain_steps():
     """The production sharded step (make_mesh_train_pair, = reference DDP
     wrap base_trainer.py:102-104) on a 1-device mesh reproduces the plain

@@ -152,6 +152,7 @@ def test_real_tree_through_generator(shhq_tree, smpl, mode):
     assert np.isfinite(np.asarray(out["rgbs"])).all()
 
 
+@pytest.mark.slow
 def test_real_tree_one_train_step(shhq_tree, smpl):
     """One full D+G step from the on-disk tree (fix_body, the shipped
     mode), exercising images/segments/latents as real training data."""
