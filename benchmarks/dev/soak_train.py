@@ -32,9 +32,31 @@ import types
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
 
+def _label_palette(n=26, seed=3):
+    """Fixed, well-separated RGB color per segmentation class (bg = white,
+    matching the white-background compositing in normalize_masked_image)."""
+    import colorsys
+
+    import numpy as np
+
+    pal = np.zeros((n, 3), np.float32)
+    pal[0] = pal[1] = 255.0  # 0 unused on disk; 1 = background -> white
+    rs = np.random.RandomState(seed)
+    for k in range(2, n):
+        h = (k - 2) / (n - 2)
+        r, g, b = colorsys.hsv_to_rgb(h, 0.75, 0.55 + 0.4 * ((k - 2) % 2))
+        pal[k] = np.asarray([r, g, b]) * 255.0
+    return pal, rs
+
+
 def build_fixture(root, smpl, meta, n_items, seed=7):
     """SHHQ-layout tree (1-indexed %06d files; ref lib/data/datasets.py
-    :240-320) with random images and properly posed synthetic SMPL bodies."""
+    :240-320) with properly posed synthetic SMPL bodies AND learnable
+    images: each image is the zero-rotation rasterization of that item's
+    posed body, colorized with a fixed per-part palette (+ pixel noise), and
+    body_seg is the matching label map.  This gives the D segmentation head
+    a real pixel->label mapping to learn — pure-noise images (round-4 first
+    soak) leave the CE flat at ln(26) and prove nothing about convergence."""
     import jax.numpy as jnp
     import numpy as np
     from PIL import Image
@@ -48,16 +70,8 @@ def build_fixture(root, smpl, meta, n_items, seed=7):
     rs = np.random.RandomState(seed)
     J = smpl.num_joints
     for i in range(1, n_items + 1):
-        img = rs.randint(0, 255, (H, W, 3), np.uint8)
-        Image.fromarray(img).save(f"{root}/images/{i:06d}.png")
-        mask = np.zeros((H, W), np.uint8)
-        mask[H // 8 : -H // 8, W // 4 : -W // 4] = 255  # body-ish region
-        Image.fromarray(mask).save(f"{root}/masks/{i:06d}.png")
-        seg = rs.randint(0, 24, (H, W), np.uint8) * (mask > 0)
-        Image.fromarray(seg).save(f"{root}/body_seg/{i:06d}.png")
         np.save(f"{root}/inversions/{i:06d}.npy",
                 rs.randn(meta["latent_dim"]).astype(np.float32) * 0.5)
-
         aa = 0.2 * rs.randn(J, 3).astype(np.float32)
         rot = np.asarray(batch_rodrigues(jnp.asarray(aa[None])))[0]
         betas = 0.3 * rs.randn(1, 10).astype(np.float32)
@@ -75,6 +89,38 @@ def build_fixture(root, smpl, meta, n_items, seed=7):
         }
         with open(f"{root}/smpl/{i:06d}.pkl", "wb") as f:
             pickle.dump(pred, f)
+
+    # pass 2: rasterize every item through the PRODUCTION preprocessor at
+    # zero rotation (fix_body, the training camera) and derive image/mask/
+    # body_seg from the result so conditioning and targets are consistent.
+    from threedhumangan_tpu.data.dataset import make_dataset
+    from threedhumangan_tpu.data.preprocessor import get_preprocessor
+
+    ds = make_dataset("SHHQDataset", dataroot=root, smpl_model=smpl,
+                      image_only=True, **{k: v for k, v in meta.items()
+                                          if k not in ("dataset", "dataroot")})
+    pre = get_preprocessor(meta, smpl)
+    pal, _ = _label_palette(int(meta.get("label_dim", 26)))
+    items = [ds._load_smpl(i) for i in range(n_items)]
+    batch = {k: jnp.asarray(np.stack([it[k] for it in items]))
+             for k in items[0]}
+    zero = jnp.zeros((n_items,), jnp.float32)
+    segs = np.asarray(
+        pre.forward_with_rotation(batch, zero, zero, zero)
+        ["rasterized_segments"])  # (N, H, W): 1 = bg, 2.. = parts
+    for i in range(1, n_items + 1):
+        seg = segs[i - 1]
+        if seg.shape != (H, W):  # raster res == gen res for these configs
+            seg = np.asarray(Image.fromarray(seg.astype(np.uint8)).resize(
+                (W, H), Image.NEAREST))
+        img = pal[seg] + rs.uniform(-14.0, 14.0, (H, W, 3))
+        Image.fromarray(np.clip(img, 0, 255).astype(np.uint8)).save(
+            f"{root}/images/{i:06d}.png")
+        Image.fromarray(((seg > 1) * 255).astype(np.uint8)).save(
+            f"{root}/masks/{i:06d}.png")
+        # on-disk convention: 0 = bg, 1.. = parts (shift_segment_labels +1)
+        Image.fromarray((seg - 1).astype(np.uint8)).save(
+            f"{root}/body_seg/{i:06d}.png")
 
 
 def main():

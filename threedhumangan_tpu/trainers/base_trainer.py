@@ -78,6 +78,7 @@ class Trainer:
             from threedhumangan_tpu.utils.tb import EventWriter
             self.tb = EventWriter(self.output_dir)
         self.collector = Collector(".*")
+        self._stats_acc = None  # device-side every-step moment accumulator
         self.ada_collector = Collector("real_signs.*")
         self.ada_p = 0.0  # ADA controller state (ref base_trainer.py:133-145)
         self.step = 0
@@ -356,6 +357,7 @@ class Trainer:
                     # batch/resolution curriculum boundary: the in-flight
                     # loader yields stale-shaped batches — restart the data
                     # loop on the rebuilt loader (ref run :344-360)
+                    self._stats_acc = None  # old-stage moments: drop
                     break
                 if max_steps is not None and self.step >= max_steps:
                     if self.rank == 0:
@@ -378,8 +380,17 @@ class Trainer:
                 if meta.get("ada_interval", 0) and self.step % meta["ada_interval"] == 0:
                     self.update_augment(meta, stats)
 
+                if self.rank == 0:
+                    # accumulate EVERY step's moments device-side (async tiny
+                    # adds, no host sync) so phase-gated stats are not lost:
+                    # with host sampling at step % 10 only even phase slots
+                    # are ever observed and `r1` (slots 3/7) logs 0 forever
+                    self._stats_acc = (
+                        stats if self._stats_acc is None else
+                        jax.tree_util.tree_map(jnp.add, self._stats_acc, stats))
                 if self.rank == 0 and (self.step % 10 == 0 or self.step == 1):
-                    self.collector.update(jax.device_get(stats))
+                    self.collector.update(jax.device_get(self._stats_acc))
+                    self._stats_acc = None
                     scalars = {n: self.collector[n] for n in self.collector.names()}
                     scalars["imgs_per_sec"] = (
                         self.step * self.batch_size / max(time.time() - t0, 1e-9))
