@@ -69,6 +69,33 @@ def test_geo_kernel_nearest_index_tiebreak(rng):
                                atol=2e-5, rtol=2e-5)
 
 
+def test_geo_kernel_vertex_chunked_merge(rng):
+    """Multi-chunk 1-NN scan (the VMEM-bounded production shape): results
+    must match the single-chunk scan bitwise, including ties that straddle
+    chunk boundaries (every vertex duplicated half-a-mesh apart, so each
+    tie's two rows land in different chunks — the strict-less ascending
+    merge must keep the LOWER global index)."""
+    B, P, V, J = 2, 256, 288, 24
+    keys = jax.random.split(rng, 4)
+    points = jax.random.normal(keys[0], (B, P, 3))
+    base = jax.random.normal(keys[1], (B, V // 2, 3))
+    vertices = jnp.concatenate([base, base], axis=1)
+    tpose = jax.random.normal(keys[2], (B, V, 3))
+    skel = jax.random.normal(keys[3], (B, J, 3))
+    fk = jnp.broadcast_to(jnp.eye(4), (B, J, 4, 4))
+    lbs = jnp.full((B, V, J), 1.0 / J)
+
+    vfeat = build_vertex_features(tpose, fk, lbs)
+    one = geo_features_pallas(points, vertices, vfeat, skel,
+                              vertex_chunks=1, interpret=True)
+    many = geo_features_pallas(points, vertices, vfeat, skel,
+                               vertex_chunks=3, interpret=True)
+    np.testing.assert_array_equal(np.asarray(many), np.asarray(one))
+    ref = get_geo_features(points, skel, vertices, tpose, fk, lbs)
+    np.testing.assert_allclose(np.asarray(many), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
 def test_geo_flag_through_get_geo_features(rng):
     B, P, V, J = 1, 64, 50, 24
     keys = jax.random.split(rng, 5)

@@ -31,6 +31,14 @@ layout, which is the part that matters:
 Output is written vertex-major (B, 31, P) and transposed once in XLA (a
 146 MB stream at 512L shapes, ~0.4 ms) — everything else never leaves VMEM.
 
+The vertex axis is scanned as a fori_loop over VMEM-bounded chunks (round-4
+robustness fix): the round-3 kernel materialized the full (Vp, T) distance
+tile and sat at the edge of the 16 MB scoped-VMEM budget — batch 8 compiled
+but batch 12/16 blew the stack by 4-6 MB (XLA's scoped accounting shifts
+with surrounding layout choices).  Loop iterations reuse their stack
+buffers, so the live tile is (Vp/n_chunks, T) at identical total work, and
+every batch 4..32 AOT-compiles with headroom.
+
 All dots are f32: the ik entries feed omega=30 SIREN inputs downstream and
 the one-hot selection must be exact (tie-breaking = lowest index, torch
 ``min`` semantics like pytorch3d knn_points).
@@ -50,28 +58,41 @@ GEO_DIM = 31  # 3 cano + 24 joint dists + 3 tpose + 1 nearest dist
 
 
 def auto_geo_tile(n_vertices_padded: int, budget: int = 14 * 2 ** 20) -> int:
-    """Largest power-of-two point tile whose (Vp, T) f32 distance tile fits
-    the scoped-VMEM budget.  The elementwise argmin work is T-independent
-    (B*P*Vp total either way) but bigger tiles amortize the per-tile matmul
-    ramp and grid overhead: measured on v5e at 512L shapes (Vp=6912),
-    tile 128 -> 35.9 ms/batch8, 512 -> 22.4 ms; 1024 exceeds VMEM and does
-    not compile.  14 MB leaves room for the (19, Vp) feature table and the
-    double-buffered point/output tiles."""
-    t = 1024
-    while t > 128 and n_vertices_padded * t * 4 > budget:
-        t //= 2
-    return t
+    """Point-tile size.  With the vertex-chunked kernel the (Vc, T) working
+    tile no longer scales with V (auto_geo_chunks bounds it), so the point
+    tile is a fixed 512 — swept on v5e at 512L shapes (Vp=6912): tile 128
+    -> 35.9 ms/batch8, 512 -> 22.4 ms; 1024 gave no further gain (the
+    elementwise argmin work is T-independent, B*P*V total either way)."""
+    del n_vertices_padded, budget
+    return 512
+
+
+def auto_geo_chunks(n_vertices_padded: int, tile_points: int,
+                    budget: int = 8 * 2 ** 20) -> int:
+    """Number of vertex chunks such that the kernel's live (Vc, T) f32
+    distance tile stays under ``budget``.  The round-3 kernel materialized
+    the full (Vp, T) tile (14.2 MB at 512L shapes) and sat at the edge of
+    the 16 MB scoped-VMEM budget: batch 8 compiled but batch 12 (and batch
+    16 inside the full generation graph) blew the stack by several MB —
+    XLA's scoped accounting shifts with surrounding layout choices, so the
+    kernel must leave real headroom rather than fit exactly."""
+    full = n_vertices_padded * tile_points * 4
+    return max(1, -(-full // budget))
 
 
 def _geo_kernel(pts_ref, va_ref, vfeat_ref, skel_ref, ssq_ref,
-                out_ref, *, legacy_mode):
-    """One (4, T) tile of augmented points [-p; 1] -> (31, T) geo features."""
+                out_ref, *, legacy_mode, n_chunks, chunk):
+    """One (4, T) tile of augmented points [-p; 1] -> (31, T) geo features.
+
+    The 1-NN scan runs as a fori_loop over ``n_chunks`` vertex chunks of
+    ``chunk`` rows: loop iterations REUSE their stack buffers (the round-2
+    Mosaic finding), so the live distance tile is (chunk, T) instead of
+    (Vp, T) regardless of the mesh size."""
     f32 = jnp.float32
     ptsa = pts_ref[0]         # (4, T): [-x, -y, -z, 1]
-    va = va_ref[0]            # (Vp, 4): [v, |v|^2/2]; padded rows never win
-    vfeat_t = vfeat_ref[0]    # (19, Vp)
     skel = skel_ref[0]        # (J, 3)
     ssq = ssq_ref[0]          # (J, 1)
+    T = ptsa.shape[1]
 
     pts_t = -ptsa[0:3]                                    # (3, T) raw coords
     p_sq = jnp.sum(pts_t * pts_t, axis=0, keepdims=True)  # (1, T)
@@ -81,21 +102,34 @@ def _geo_kernel(pts_ref, va_ref, vfeat_ref, skel_ref, ssq_ref,
                                  preferred_element_type=f32)    # (J, T)
     jd = jnp.sqrt(jnp.maximum(ssq - 2.0 * crossj + p_sq, 0.0) + 1e-12) / 2.4
 
-    # 1-NN over all vertices: the (Vp, T) half-distance tile comes STRAIGHT
-    # out of the MXU (|v|^2/2 rides the augmented contraction; |p|^2/2 is
-    # constant per column so it can't change the argmin and is left out);
-    # argmin over the sublane axis via iota + min algebra
-    d = jax.lax.dot_general(va, ptsa, (((1,), (0,)), ((), ())),
-                            preferred_element_type=f32)         # (Vp, T)
-    dmin = jnp.min(d, axis=0, keepdims=True)                    # (1, T)
-    rows = jax.lax.broadcasted_iota(jnp.int32, d.shape, 0)
-    arg = jnp.min(jnp.where(d <= dmin, rows, jnp.int32(2 ** 30)),
-                  axis=0, keepdims=True)                        # (1, T)
-    onehot = (rows == arg).astype(f32)                          # (Vp, T)
+    # 1-NN over all vertices, one vertex chunk at a time.  Within a chunk:
+    # the (chunk, T) half-distance tile comes STRAIGHT out of the MXU
+    # (|v|^2/2 rides the augmented contraction; |p|^2/2 is constant per
+    # column so it can't change the argmin and is left out); argmin over
+    # the sublane axis via iota + min algebra; the winning row's
+    # [ik(16); tpose(3)] via one vertex-major MXU matmul.  Across chunks:
+    # a strict-less merge in ascending chunk order keeps the LOWEST global
+    # index on exact ties (torch min semantics), because the local iota
+    # pick is the lowest index within the chunk.
+    def chunk_body(c, carry):
+        best_d, best_g = carry
+        va = va_ref[0, c]         # (chunk, 4): [v, |v|^2/2]; pad rows lose
+        vfeat_t = vfeat_ref[0, c]  # (19, chunk)
+        d = jax.lax.dot_general(va, ptsa, (((1,), (0,)), ((), ())),
+                                preferred_element_type=f32)     # (chunk, T)
+        dmin = jnp.min(d, axis=0, keepdims=True)                # (1, T)
+        rows = jax.lax.broadcasted_iota(jnp.int32, d.shape, 0)
+        arg = jnp.min(jnp.where(d <= dmin, rows, jnp.int32(2 ** 30)),
+                      axis=0, keepdims=True)                    # (1, T)
+        onehot = (rows == arg).astype(f32)                      # (chunk, T)
+        g = jax.lax.dot_general(vfeat_t, onehot, (((1,), (0,)), ((), ())),
+                                preferred_element_type=f32)     # (19, T)
+        better = dmin < best_d                                  # (1, T)
+        return (jnp.where(better, dmin, best_d),
+                jnp.where(jnp.broadcast_to(better, g.shape), g, best_g))
 
-    # winning vertex's [ik(16); tpose(3)]: one vertex-major MXU matmul
-    gathered = jax.lax.dot_general(vfeat_t, onehot, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=f32)  # (19, T)
+    init = (jnp.full((1, T), jnp.inf, f32), jnp.zeros((19, T), f32))
+    dmin, gathered = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
 
     x = pts_t[0:1]
     y = pts_t[1:2]
@@ -120,7 +154,7 @@ def _geo_kernel(pts_ref, va_ref, vfeat_ref, skel_ref, ssq_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("legacy_mode", "tile_points", "interpret"),
+    static_argnames=("legacy_mode", "tile_points", "vertex_chunks", "interpret"),
 )
 def geo_features_pallas(
     points: jax.Array,      # (B, P, 3) raw world points
@@ -129,32 +163,43 @@ def geo_features_pallas(
     skeletons: jax.Array,   # (B, J, 3)
     legacy_mode: bool = False,
     tile_points: int | None = None,
+    vertex_chunks: int | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Returns (B, P, 31) f32 geo features (models.smpl.get_geo_features
-    semantics, ref smpl.py:210-249).  ``tile_points=None`` picks the
-    largest VMEM-fitting point tile (`auto_geo_tile`)."""
+    semantics, ref smpl.py:210-249).  ``tile_points=None`` picks the swept
+    default (`auto_geo_tile`); ``vertex_chunks=None`` bounds the live
+    distance tile to the VMEM headroom budget (`auto_geo_chunks`)."""
     B, P, _ = points.shape
+    V = vertices.shape[1]
+    Vp128 = V + (-V) % 128
     if tile_points is None:
-        tile_points = auto_geo_tile(vertices.shape[1] + (-vertices.shape[1]) % 128)
+        tile_points = auto_geo_tile(Vp128)
+    if vertex_chunks is None:
+        vertex_chunks = auto_geo_chunks(Vp128, tile_points)
     pad_p = (-P) % tile_points
     if pad_p:
         points = jnp.pad(points, ((0, 0), (0, pad_p), (0, 0)))
     Pp = P + pad_p
     n_tiles = Pp // tile_points
 
-    V = vertices.shape[1]
-    pad_v = (-V) % 128
+    # chunk rows: multiple of the 8-row f32 sublane; total padded vertex
+    # count is n_chunks * chunk
+    chunk = -(-Vp128 // vertex_chunks)
+    chunk += (-chunk) % 8
+    Vp = vertex_chunks * chunk
+    pad_v = Vp - V
     verts_p = jnp.pad(vertices.astype(jnp.float32), ((0, 0), (0, pad_v), (0, 0)),
                       constant_values=1e6)
-    Vp = V + pad_v
     # augmented vertex table [v, |v|^2/2]: the bias column makes the in-kernel
     # distance tile a single MXU product (padded rows land at ~1.5e12, body-
     # scale points can never select them)
     vsq = 0.5 * jnp.sum(jnp.square(verts_p), axis=-1)[..., None]  # (B, Vp, 1)
     va = jnp.concatenate([verts_p, vsq], axis=-1)               # (B, Vp, 4)
+    va = va.reshape(B, vertex_chunks, chunk, 4)
     vfeat_t = jnp.swapaxes(
         jnp.pad(vfeat.astype(jnp.float32), ((0, 0), (0, pad_v), (0, 0))), 1, 2)
+    vfeat_t = vfeat_t.reshape(B, 19, vertex_chunks, chunk).transpose(0, 2, 1, 3)
     J = skeletons.shape[1]
     skel = skeletons.astype(jnp.float32)                        # (B, J, 3)
     ssq = jnp.sum(jnp.square(skel), axis=-1)[..., None]         # (B, J, 1)
@@ -163,7 +208,8 @@ def geo_features_pallas(
     ptsa = jnp.concatenate(
         [-pts_t, jnp.ones((B, 1, Pp), pts_t.dtype)], axis=1)    # (B, 4, Pp)
 
-    kernel = functools.partial(_geo_kernel, legacy_mode=legacy_mode)
+    kernel = functools.partial(_geo_kernel, legacy_mode=legacy_mode,
+                               n_chunks=vertex_chunks, chunk=chunk)
 
     out = pl.pallas_call(
         kernel,
@@ -171,9 +217,9 @@ def geo_features_pallas(
         in_specs=[
             pl.BlockSpec((1, 4, tile_points), lambda b, t: (b, 0, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Vp, 4), lambda b, t: (b, 0, 0),
+            pl.BlockSpec((1, vertex_chunks, chunk, 4), lambda b, t: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 19, Vp), lambda b, t: (b, 0, 0),
+            pl.BlockSpec((1, vertex_chunks, 19, chunk), lambda b, t: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, J, 3), lambda b, t: (b, 0, 0),
                          memory_space=pltpu.VMEM),
