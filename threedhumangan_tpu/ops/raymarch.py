@@ -340,7 +340,11 @@ def fused_field_render(
     if step_pack < 1 or num_steps % step_pack:
         step_pack = 1  # invalid or non-dividing values coerce to 1
 
-    if fold_film and len(field_params["network"]) >= 2:
+    # an explicit march_loop=True request selects the loop-mode kernel even
+    # though fold_film defaults on (the folded kernel has no loop mode);
+    # otherwise a config setting pallas_march_loop alone would silently get
+    # the folded kernel instead of the one it asked for
+    if fold_film and not march_loop and len(field_params["network"]) >= 2:
         return _fused_field_render_folded(
             field_params, packed_inputs, freq, phase, z_vals, num_steps,
             tile_rays, white_back, last_back, compute_dtype, interpret,
@@ -672,22 +676,34 @@ def _folded_vmem_bytes(tile_rays, step_pack, num_steps, n_cols, hidden,
 
 def auto_fold_tiles(tile_rays, step_pack, num_steps, n_cols, hidden,
                     feature_dim, n_blocks,
-                    budget=int(15.2 * 2 ** 20)):
+                    budget=int(15.2 * 2 ** 20), total_rays=None):
     """Largest (tile_rays, step_pack) <= requested that fits the scoped
     VMEM budget per `_folded_vmem_bytes`.  For each tile_rays (largest
     first) try the largest dividing step_pack first — a big matmul M at a
     smaller ray tile beats a big tile at M=T (the M dim is what amortizes
-    MXU weight loads)."""
+    MXU weight loads).  When `total_rays` is given, candidate tiles are
+    restricted to divisors of it so shrinking a non-power-of-two request
+    (e.g. 48) never lands on a tile that fails the caller's R % tile == 0
+    contract."""
+    T0 = max(8, tile_rays)
+    if total_rays is not None:
+        cands = [t for t in range(min(T0, total_rays), 0, -1)
+                 if total_rays % t == 0]
+        if not cands:
+            cands = [total_rays]
+    else:
+        cands = []
+        T = T0
+        while T >= 8:
+            cands.append(T)
+            T //= 2
     sps = [s for s in range(max(1, step_pack), 0, -1) if num_steps % s == 0]
-    T = max(8, tile_rays)
-    while True:
+    for T in cands:
         for sp in sps:
             if _folded_vmem_bytes(T, sp, num_steps, n_cols, hidden,
                                   feature_dim, n_blocks) <= budget:
                 return T, sp
-        if T <= 8:
-            return T, 1
-        T //= 2
+    return cands[-1], 1
 
 
 def _fused_field_render_folded(
@@ -708,7 +724,7 @@ def _fused_field_render_folded(
 
     tile_rays, step_pack = auto_fold_tiles(
         tile_rays, step_pack, num_steps, n_cols, hidden, feature_dim,
-        n_blocks)
+        n_blocks, total_rays=R)
     assert R % tile_rays == 0, (R, tile_rays)
     n_tiles = R // tile_rays
     n_groups = num_steps // step_pack

@@ -385,9 +385,17 @@ class Trainer:
                     # adds, no host sync) so phase-gated stats are not lost:
                     # with host sampling at step % 10 only even phase slots
                     # are ever observed and `r1` (slots 3/7) logs 0 forever
-                    self._stats_acc = (
-                        stats if self._stats_acc is None else
-                        jax.tree_util.tree_map(jnp.add, self._stats_acc, stats))
+                    # key-union merge: per-phase steps may return different
+                    # stat sets (e.g. perceptual/photometric only on
+                    # conditional phases), so a strict tree_map(jnp.add)
+                    # would crash on a mixed cond/uncond schedule
+                    if self._stats_acc is None:
+                        self._stats_acc = dict(stats)
+                    else:
+                        for k, v in stats.items():
+                            self._stats_acc[k] = (
+                                v if k not in self._stats_acc
+                                else jnp.add(self._stats_acc[k], v))
                 if self.rank == 0 and (self.step % 10 == 0 or self.step == 1):
                     self.collector.update(jax.device_get(self._stats_acc))
                     self._stats_acc = None

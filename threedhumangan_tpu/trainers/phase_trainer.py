@@ -267,7 +267,12 @@ def d_train_step(
                     d_fn, imgs, meta["r1_lambda"], gan_lambda, seg_lambda),
                 lambda imgs: jnp.float32(0.0),
                 real_images)
-            stats["r1"] = moments(r1 / 4.0)
+            # zero-COUNT moment on non-R1 phases so Collector.mean averages
+            # over R1 steps only (ref phase_trainer.py:392-393 reports r1
+            # only on do_r1 steps; a count=1 zero would dilute the mean ~4x)
+            stats["r1"] = jnp.where(
+                jnp.asarray(phase["do_r1"], bool),
+                moments(r1 / 4.0), jnp.zeros(3, jnp.float32))
         else:
             r1 = 0.0
 
