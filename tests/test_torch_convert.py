@@ -1,6 +1,10 @@
-"""Checkpoint-converter test: a synthetic state_dict under the reference's
+"""Checkpoint-converter tests: a synthetic state_dict under the reference's
 key names (apps/sample_from_generator.py:109-111 key space) must land on our
-pytree with matching shapes and produce a working forward pass."""
+pytree with matching shapes, produce a working forward pass, and — the
+numeric half — converted spectral-norm / BN state must reproduce torch
+outputs exactly.  The full converted-generator forward is additionally
+pinned against the imported reference torch model end-to-end in
+tests/test_reference_parity.py::test_full_generator_forward_parity."""
 
 import jax
 import jax.numpy as jnp
@@ -119,3 +123,81 @@ def test_converted_params_run_forward():
     z = jax.random.normal(rng, (1, meta["latent_dim"]))
     out, _ = generator_forward(params, state, z, cond, rng, meta)
     assert np.isfinite(np.asarray(out["rgbs"])).all()
+
+
+def test_converted_spectral_norm_output_parity():
+    """OUTPUT parity of the spectral-norm mapping (weight_orig + weight_u ->
+    params w + state u): our eval-mode spectral_normalize on the converted
+    tree must reproduce a converged torch spectral_norm conv exactly."""
+    torch = __import__("pytest").importorskip("torch")
+    from threedhumangan_tpu.models.synthesis import spectral_normalize
+
+    meta = configs.extract_metadata(configs.MAP3DBN_TINY, 0)
+    sd = _reference_keyspace_state_dict(meta)
+
+    F, H = meta["feature_dim"], meta["hidden_dim"]
+    torch.manual_seed(0)
+    conv = torch.nn.utils.spectral_norm(torch.nn.Conv2d(F, H, 1))
+    with torch.no_grad():
+        warm = torch.randn(1, F, 4, 4)
+        for _ in range(50):  # converge the power iteration
+            conv(warm)
+    conv.eval()
+
+    pre = "synthesis_network.network.m3d_0.conv_0"
+    sd[pre + ".weight_orig"] = conv.weight_orig.detach().numpy()
+    sd[pre + ".weight_u"] = conv.weight_u.detach().numpy()
+    sd[pre + ".bias"] = conv.bias.detach().numpy()
+
+    params, state = convert_generator_state_dict(sd, meta)
+    bp = params["synthesis_network"]["blocks"][0]["conv_0"]
+    bs = state["synthesis_network"]["blocks"][0]["conv_0"]
+
+    x = torch.randn(2, F, 5, 3)
+    with torch.no_grad():
+        ref = conv(x).numpy().transpose(0, 2, 3, 1)  # NHWC
+
+    w_bar, _ = spectral_normalize(bp["w"], bs, train=False)
+    ours = np.asarray(x.numpy().transpose(0, 2, 3, 1) @ np.asarray(w_bar)
+                      + np.asarray(bp["b"]))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_converted_bn_running_stats_output_parity():
+    """OUTPUT parity of the BN state mapping (running_mean/var + affine ->
+    norm state/params): our eval-mode sync BN on the converted tree must
+    reproduce torch BatchNorm2d eval output exactly."""
+    torch = __import__("pytest").importorskip("torch")
+    from threedhumangan_tpu.models.synthesis import apply_sync_batch_norm
+
+    meta = configs.extract_metadata(configs.MAP3DBN_TINY, 0)
+    sd = _reference_keyspace_state_dict(meta)
+
+    F = meta["feature_dim"]
+    rs = np.random.RandomState(42)
+    sp = "synthesis_network.network.m3d_0.spade_0"
+    stats = {
+        ".first_norm.running_mean": rs.randn(F).astype(np.float32),
+        ".first_norm.running_var": (rs.rand(F) + 0.5).astype(np.float32),
+        ".first_norm.weight": rs.randn(F).astype(np.float32),
+        ".first_norm.bias": rs.randn(F).astype(np.float32),
+    }
+    sd.update({sp + k: v for k, v in stats.items()})
+
+    params, state = convert_generator_state_dict(sd, meta)
+    bp = params["synthesis_network"]["blocks"][0]["spade_0"]
+    bs = state["synthesis_network"]["blocks"][0]["spade_0"]
+
+    bn = torch.nn.BatchNorm2d(F).eval()
+    with torch.no_grad():
+        bn.running_mean.copy_(torch.from_numpy(stats[".first_norm.running_mean"]))
+        bn.running_var.copy_(torch.from_numpy(stats[".first_norm.running_var"]))
+        bn.weight.copy_(torch.from_numpy(stats[".first_norm.weight"]))
+        bn.bias.copy_(torch.from_numpy(stats[".first_norm.bias"]))
+        x = torch.randn(2, F, 6, 4)
+        ref = bn(x).numpy().transpose(0, 2, 3, 1)  # NHWC
+
+    ours, _ = apply_sync_batch_norm(
+        bp["norm"], bs["norm"], jnp.asarray(x.numpy().transpose(0, 2, 3, 1)),
+        train=False)
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-5, atol=1e-5)

@@ -11,10 +11,13 @@ This module maps those keys onto the TPU build's pytrees:
   spectral_norm weight_orig/_u          -> params w + state u
   SyncBatchNorm running stats           -> norm state {mean, var, count}
 
-Checkpoint conversion is SURVEY.md §7 step 9; numeric-parity validation
-requires the released asset, but the key mapping is testable synthetically
-(tests/test_torch_convert.py builds a state_dict with the reference's key
-names and checks every leaf lands with the right shape).
+Checkpoint conversion is SURVEY.md §7 step 9.  Numeric validation (no
+released asset needed): tests/test_reference_parity.py::
+test_full_generator_forward_parity routes the imported reference torch
+generator's state_dict through this converter and asserts output parity of
+the COMPLETE forward, and tests/test_torch_convert.py pins the
+spectral-norm (weight_orig/weight_u) and BN running-stat mappings against
+torch oracles output-for-output, plus shape coverage of every leaf.
 """
 
 from __future__ import annotations
