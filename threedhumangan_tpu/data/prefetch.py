@@ -11,21 +11,29 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Iterator
+from typing import Callable, Iterator, Optional
 
 
 class PrefetchIterator:
-    """Wrap a batch iterator; always `depth` batches ahead."""
+    """Wrap a batch iterator; always `depth` batches ahead.
+
+    ``transform`` (optional) runs on each item INSIDE the worker thread —
+    the trainer passes its host->device placement here so the H2D transfer
+    (~90 ms/batch over the remote-TPU tunnel) overlaps the previous step
+    instead of serializing with it (jax dispatch is thread-safe)."""
 
     _SENTINEL = object()
 
-    def __init__(self, iterator: Iterator, depth: int = 2):
+    def __init__(self, iterator: Iterator, depth: int = 2,
+                 transform: Optional[Callable] = None):
         self._queue: queue.Queue = queue.Queue(maxsize=depth)
         self._error = None
 
         def worker():
             try:
                 for item in iterator:
+                    if transform is not None:
+                        item = transform(item)
                     self._queue.put(item)
             except BaseException as e:  # surfaced on the consumer side
                 self._error = e
@@ -47,5 +55,6 @@ class PrefetchIterator:
         return item
 
 
-def prefetch(iterator: Iterator, depth: int = 2) -> PrefetchIterator:
-    return PrefetchIterator(iterator, depth)
+def prefetch(iterator: Iterator, depth: int = 2,
+             transform: Optional[Callable] = None) -> PrefetchIterator:
+    return PrefetchIterator(iterator, depth, transform=transform)

@@ -65,6 +65,41 @@ def shard_batch(batch: Dict, mesh: Mesh) -> Dict:
     return jax.tree.map(put, batch)
 
 
+class BatchUploader:
+    """``shard_batch`` with content-dedupe of step-invariant leaves.
+
+    SHHQ batches carry the SMPL model tables per item (``lbs_weights`` is
+    5.3 MB of the 12.9 MB batch at batch 8; ``tpose_vertices`` likewise) —
+    identical bytes every step.  A host memcmp (~1 ms) against the previous
+    step's leaf skips the re-upload (~40 ms over the remote-TPU tunnel) and
+    reuses the resident device buffer (batches are never donated, so the
+    buffer stays valid).  Thread-safe enough for the single prefetch worker
+    that calls it."""
+
+    def __init__(self, mesh: Mesh):
+        self.mesh = mesh
+        self._prev: Dict[str, Tuple[np.ndarray, object]] = {}
+
+    def __call__(self, data: Dict) -> Dict:
+        out = {}
+        fresh = {}
+        for k, v in data.items():
+            host = np.asarray(v)
+            prev = self._prev.get(k)
+            if (prev is not None and prev[0].dtype == host.dtype
+                    and prev[0].shape == host.shape
+                    and np.array_equal(prev[0], host)):
+                out[k] = prev[1]
+            else:
+                fresh[k] = host
+        if fresh:
+            dev = shard_batch(fresh, self.mesh)
+            for k, host in fresh.items():
+                self._prev[k] = (host, dev[k])
+                out[k] = dev[k]
+        return out
+
+
 def replicate(tree, mesh: Mesh):
     """Fully-replicated placement of a pytree onto ``mesh`` — works across
     processes (every process supplies the full value for its addressable

@@ -188,6 +188,11 @@ class Trainer:
             self.ts = replicate(self.ts, self.mesh)
         self.train_step = make_mesh_train_pair(
             self.mesh, self.preprocessor, self._stage_meta)
+        # host->device placement for the prefetch worker: overlaps the H2D
+        # transfer with the previous step and content-dedupes step-invariant
+        # leaves (lbs_weights/tpose tables: 6 MB of the 13 MB batch)
+        from threedhumangan_tpu.parallel.mesh import BatchUploader
+        self._uploader = BatchUploader(self.mesh)
 
     def aot_compile_current_stage(self) -> None:
         """AOT-compile every phase-key variant of the current stage's train
@@ -332,6 +337,12 @@ class Trainer:
     # -- main loop ----------------------------------------------------------------
 
     def run(self, max_steps: Optional[int] = None) -> None:
+        try:
+            self._run(max_steps)
+        finally:
+            self._join_save()  # the last async checkpoint write must land
+
+    def _run(self, max_steps: Optional[int] = None) -> None:
         n_epochs = getattr(self.opt, "n_epochs", 1)
         save_interval = getattr(self.opt, "model_save_interval", 1000)
         keep_interval = getattr(self.opt, "model_keep_interval", 5000)
@@ -339,6 +350,9 @@ class Trainer:
         if self.rank == 0:
             self.write_options()
         t0 = time.time()
+        t_window = t0          # windowed-throughput anchor (last log flush)
+        step_window = self.step
+        host_sec = 0.0         # ckpt/vis wall time inside the current window
 
         for epoch in range(n_epochs):
             meta = self._meta_for_step(self.step)
@@ -347,7 +361,8 @@ class Trainer:
             from threedhumangan_tpu.data.prefetch import prefetch
 
             stage_token = self._stage_token
-            for data in prefetch(self.loader_fn(seed=epoch, shuffle=True)):
+            for batch in prefetch(self.loader_fn(seed=epoch, shuffle=True),
+                                  transform=self._uploader):
                 meta = self._meta_for_step(self.step)
                 if meta is None:
                     if self.rank == 0:
@@ -367,8 +382,6 @@ class Trainer:
                 phase = meta["phases"][self.step % len(meta["phases"])]
                 nerf_noise = max(0.0, 1.0 - self.step / 5000.0)  # ref :384
 
-                batch = shard_batch(
-                    {k: jnp.asarray(v) for k, v in data.items()}, self.mesh)
                 self.rng, step_key = jax.random.split(self.rng)
                 self.ts, stats = self.train_step(
                     self.ts, batch, step_key, phase,
@@ -399,28 +412,65 @@ class Trainer:
                 if self.rank == 0 and (self.step % 10 == 0 or self.step == 1):
                     self.collector.update(jax.device_get(self._stats_acc))
                     self._stats_acc = None
-                    scalars = {n: self.collector[n] for n in self.collector.names()}
+                    # zero-count moments (e.g. r1 in a window with no R1
+                    # phase step) mean "no observations" — skip the scalar
+                    # rather than log NaN (ref reports r1 only on do_r1
+                    # steps, phase_trainer.py:392-393)
+                    scalars = {n: self.collector[n] for n in self.collector.names()
+                               if self.collector.num(n) > 0}
+                    now = time.time()
+                    # steady-state throughput: this log window only (the
+                    # cumulative average is dominated by the first compile
+                    # for short runs — round-4 soak reported 3.3 imgs/s for
+                    # a loop actually sustaining ~21)
                     scalars["imgs_per_sec"] = (
-                        self.step * self.batch_size / max(time.time() - t0, 1e-9))
+                        (self.step - step_window) * self.batch_size
+                        / max(now - t_window, 1e-9))
+                    scalars["imgs_per_sec_cum"] = (
+                        self.step * self.batch_size / max(now - t0, 1e-9))
+                    if host_sec:
+                        scalars["host_io_sec"] = host_sec  # ckpt/vis in window
+                    t_window, step_window, host_sec = now, self.step, 0.0
                     self._log(scalars)
                     self.collector.reset()
 
                 if self.rank == 0 and self.step % save_interval == 0 and self.step > 0:
+                    t_io = time.time()
                     self.save()
+                    host_sec += time.time() - t_io
 
                 if (self.rank == 0 and sample_interval
                         and self.step % sample_interval == 0 and self.step > 0):
+                    t_io = time.time()
                     self.log_image(meta)  # ref run :439-443
                     self.log_weights()  # ref run :443
+                    host_sec += time.time() - t_io
 
         if self.rank == 0:
             self.save()
 
     def save(self):
-        save_checkpoint(
-            self.output_dir, self.step,
-            {"train_state": jax.device_get(self.ts)._asdict(), "config_name": self.config["name"]},
-            keep_interval=getattr(self.opt, "model_keep_interval", 5000))
+        """Checkpoint: the device->host pull is synchronous (the next step
+        donates the TrainState buffers), the npz write+prune runs on a
+        background thread so multi-second file IO doesn't stall the step
+        stream.  Writes are serialized (join the previous one first)."""
+        import threading
+
+        self._join_save()
+        payload = {"train_state": jax.device_get(self.ts)._asdict(),
+                   "config_name": self.config["name"]}
+        step, out_dir = self.step, self.output_dir
+        keep = getattr(self.opt, "model_keep_interval", 5000)
+        self._save_thread = threading.Thread(
+            target=save_checkpoint, args=(out_dir, step, payload),
+            kwargs={"keep_interval": keep}, daemon=True)
+        self._save_thread.start()
+
+    def _join_save(self):
+        t = getattr(self, "_save_thread", None)
+        if t is not None:
+            t.join()
+            self._save_thread = None
 
 
 # registry for apps/train.py-style dispatch (ref apps/train.py:75)
