@@ -102,12 +102,18 @@ def build_fixture(root, smpl, meta, n_items, seed=7):
     pre = get_preprocessor(meta, smpl)
     pal, _ = _label_palette(int(meta.get("label_dim", 26)))
     items = [ds._load_smpl(i) for i in range(n_items)]
-    batch = {k: jnp.asarray(np.stack([it[k] for it in items]))
-             for k in items[0]}
-    zero = jnp.zeros((n_items,), jnp.float32)
-    segs = np.asarray(
-        pre.forward_with_rotation(batch, zero, zero, zero)
-        ["rasterized_segments"])  # (N, H, W): 1 = bg, 2.. = parts
+    # rasterize in bounded groups (one 128-item batch would blow HBM/VMEM
+    # planning at larger item counts; 16 at a time matches the tested range)
+    seg_groups = []
+    for lo in range(0, n_items, 16):
+        grp = items[lo : lo + 16]
+        batch = {k: jnp.asarray(np.stack([it[k] for it in grp]))
+                 for k in grp[0]}
+        zero = jnp.zeros((len(grp),), jnp.float32)
+        seg_groups.append(np.asarray(
+            pre.forward_with_rotation(batch, zero, zero, zero)
+            ["rasterized_segments"]))  # (n, H, W): 1 = bg, 2.. = parts
+    segs = np.concatenate(seg_groups, axis=0)
     for i in range(1, n_items + 1):
         seg = segs[i - 1]
         if seg.shape != (H, W):  # raster res == gen res for these configs
@@ -200,7 +206,8 @@ def main():
     summary.append("|---|---|---|")
     for name in ("d_loss", "g_loss", "d_segmentation_loss",
                  "g_segmentation_loss", "r1", "segmentation_acc_real",
-                 "imgs_per_sec"):
+                 "segmentation_prob_gen", "segmentation_prob_real",
+                 "imgs_per_sec", "imgs_per_sec_cum"):
         s = series(name)
         if not s:
             continue
@@ -216,6 +223,32 @@ def main():
         summary.append("")
         summary.append(f"D segmentation CE {a:.4f} -> {b:.4f} "
                        f"({'falls: D learns' if b < a else 'DID NOT FALL'})")
+    # G-side adversarial health (VERDICT r4 #5: report either way, do NOT
+    # bury D-domination).  Healthy signs: G's seg CE turns over (max is not
+    # at the end) and/or D's prob that G samples are real comes off the
+    # floor in the last half.
+    g_seg = series("g_segmentation_loss")
+    pg = series("segmentation_prob_gen")
+    if g_seg and pg:
+        g_first = window_mean(g_seg, 0.0, 0.25)
+        g_mid = window_mean(g_seg, 0.375, 0.625)
+        g_last = window_mean(g_seg, 0.75, 1.0)
+        pg_mid = window_mean(pg, 0.375, 0.625)
+        pg_last = window_mean(pg, 0.75, 1.0)
+        turned = g_last < g_mid
+        recovering = pg_last > pg_mid
+        summary.append("")
+        summary.append(
+            f"G seg CE {g_first:.3f} -> {g_mid:.3f} -> {g_last:.3f} "
+            f"({'turns over' if turned else 'still rising'}); "
+            f"D(prob gen real) mid {pg_mid:.4f} -> last {pg_last:.4f} "
+            f"({'recovering' if recovering else 'on the floor'})")
+        if not (turned or recovering):
+            summary.append(
+                "ADVERSARIAL BALANCE: D dominates this run — G samples are "
+                "confidently labeled fake and G-side losses are not "
+                "improving.  Flagged, not hidden.")
+            problems.append("D dominates: G-side curves not improving")
     summary.append("")
     summary.append("problems: " + ("none" if not problems else "; ".join(problems)))
     text = "\n".join(summary)

@@ -63,6 +63,7 @@ def test_preprocessor_rotation_changes_camera(tiny):
     assert (np.asarray(out0["rasterized_segments"]) != np.asarray(out1["rasterized_segments"])).any()
 
 
+@pytest.mark.heavy
 def test_generator_forward_shapes(tiny):
     meta, smpl, ds, pre, batch = tiny
     rng = jax.random.PRNGKey(1)
@@ -93,6 +94,7 @@ def test_staged_forward_truncation_and_depth(tiny):
     assert d.min() >= -1.0 and d.max() <= 1.0
 
 
+@pytest.mark.slow
 def test_train_step_pair_runs_and_updates(tiny):
     meta, smpl, ds, pre, batch = tiny
     rng = jax.random.PRNGKey(3)
@@ -132,6 +134,7 @@ def test_second_step_reuses_compilation(tiny):
     assert int(ts.step) == 2
 
 
+@pytest.mark.slow
 def test_hierarchical_sampling_path(tiny):
     meta, smpl, ds, pre, batch = tiny
     meta_h = dict(meta)
@@ -152,6 +155,7 @@ def test_hierarchical_sampling_path(tiny):
     assert np.isfinite(gn) and gn > 0
 
 
+@pytest.mark.heavy
 def test_dual_discrimination_step(tiny):
     meta, smpl, ds, pre, batch = tiny
     meta_d = dict(meta)
@@ -166,6 +170,7 @@ def test_dual_discrimination_step(tiny):
     assert np.isfinite(d_loss)
 
 
+@pytest.mark.heavy
 def test_batch_split_step(tiny):
     meta, smpl, ds, pre, batch = tiny
     meta_s = dict(meta)

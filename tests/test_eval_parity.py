@@ -25,6 +25,7 @@ def _run(argv, monkeypatch):
     return ep.main()
 
 
+@pytest.mark.slow
 def test_eval_parity_synthetic_round_trip(tmp_path, monkeypatch, capsys):
     golden_dir = str(tmp_path / "goldens")
     out_dir = str(tmp_path / "out")

@@ -96,6 +96,7 @@ def test_geo_kernel_vertex_chunked_merge(rng):
                                atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.heavy
 def test_geo_flag_through_get_geo_features(rng):
     B, P, V, J = 1, 64, 50, 24
     keys = jax.random.split(rng, 5)

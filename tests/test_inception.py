@@ -45,6 +45,7 @@ def test_pool3_features_shape_and_determinism():
     assert not np.allclose(np.asarray(f1), np.asarray(f3))
 
 
+@pytest.mark.heavy
 def test_export_bn_folding_round_trip(tmp_path):
     """Synthesize a torchvision-layout state_dict, export with BN folding,
     and verify conv+foldedBN == conv+BN numerically on one layer."""

@@ -223,6 +223,7 @@ def disc():
     return params, state, meta
 
 
+@pytest.mark.heavy
 def test_discriminator_heads(disc):
     params, state, meta = disc
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 32, 3))
@@ -234,6 +235,7 @@ def test_discriminator_heads(disc):
     assert len(params["down"]) == 5
 
 
+@pytest.mark.slow
 def test_discriminator_r1_grad_is_finite(disc):
     params, state, meta = disc
     x = jax.random.normal(jax.random.PRNGKey(2), (1, 64, 32, 3))

@@ -87,6 +87,7 @@ def test_dryrun_multichip_entry():
     mod.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_sequence_parallel_render_matches_single_device(rng):
     """Ray-axis (sequence-parallel) sharding over a 2-axis mesh reproduces
     the unsharded render exactly (parallel/sp.py)."""

@@ -47,6 +47,7 @@ def test_fused_kernel_matches_xla_path(rng, white_back, last_back):
     np.testing.assert_allclose(np.asarray(depth), np.asarray(ref_depth), rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.heavy
 def test_generator_pallas_flag_matches_xla(rng):
     from threedhumangan_tpu import configs
     from threedhumangan_tpu.data.dataset import SyntheticSHHQDataset, iterate_batches
@@ -226,6 +227,7 @@ def test_geo_fused_kernel_matches_xla_geo_path(rng):
                                rtol=5e-4, atol=5e-5)
 
 
+@pytest.mark.heavy
 def test_trainable_render_grads_match_xla_chain(rng):
     """fused_field_render_trainable: Pallas forward (interpret) + custom-VJP
     backward through the XLA recompute.  Gradients must match jax.grad of

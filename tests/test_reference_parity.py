@@ -218,6 +218,7 @@ def test_legacy_two_part_mapping_parity(ref_modules):
     np.testing.assert_allclose(np.asarray(sup), t2n(ref_sup), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.heavy
 def test_unet_discriminator_parity(ref_modules):
     """Full-forward parity: reference torch D vs our NHWC rebuild with the
     same weights."""

@@ -111,6 +111,7 @@ def test_fused_block_gradient_parity(rng, block, spatial):
 
 
 @pytest.mark.parametrize("mode", ["isolated", "mixed", "all"])
+@pytest.mark.heavy
 def test_fused_network_parity(rng, mode):
     """apply_synthesis_network fused vs per-op: 4 blocks, mod_blocks=(0,1),
     skip + ToRGB + both style kinds exercised; forward and wrt-params grad."""

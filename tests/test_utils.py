@@ -201,6 +201,7 @@ def test_frechet_distance_math():
     assert 25 < d < 40
 
 
+@pytest.mark.heavy
 def test_fid_between_images():
     from threedhumangan_tpu.utils.fid import fid_between
 
