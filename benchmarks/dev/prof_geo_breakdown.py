@@ -164,6 +164,17 @@ def kernel(pts_ref, va_ref, vfeat_ref, out_ref, *, n_chunks, chunk, mode):
             arg2 = jnp.argmin(d, axis=0)[None].astype(jnp.int32)
             return (jnp.minimum(best_d, dmin),
                     best_g + arg2.astype(f32) * 1e-30)
+        if mode == "fulln":
+            # native argmin (fused Mosaic reduce, first-occurrence ties =
+            # torch min semantics) + onehot + gather
+            argn = jnp.argmin(d, axis=0)[None].astype(jnp.int32)
+            rows = jax.lax.broadcasted_iota(jnp.int32, d.shape, 0)
+            onehot = (rows == argn).astype(f32)
+            g = jax.lax.dot_general(vfeat_t, onehot, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=f32)
+            better = dmin < best_d
+            return (jnp.where(better, dmin, best_d),
+                    jnp.where(jnp.broadcast_to(better, g.shape), g, best_g))
         if mode == "argmin":
             return (jnp.minimum(best_d, dmin),
                     best_g + arg.astype(f32) * 1e-30)
@@ -247,14 +258,13 @@ def main():
     match = float(jnp.mean((jnp.abs(g_full - g_packed) < 1e-5).all(axis=1)
                            .astype(jnp.float32)))
     print(f"packed argmin agreement vs full: {match*100:.3f}%", flush=True)
-    fullf = run_kernel(ptsa, va, vfeat_t, "fullf")
-    match_f = float(jnp.mean(
-        (jnp.abs(g_full - fullf[:, 1:20, :]) < 1e-5).all(axis=1)
+    fulln = run_kernel(ptsa, va, vfeat_t, "fulln")
+    match_n = float(jnp.mean(
+        (jnp.abs(g_full - fulln[:, 1:20, :]) < 1e-5).all(axis=1)
         .astype(jnp.float32)))
-    print(f"fullf argmin agreement vs full: {match_f*100:.3f}%", flush=True)
+    print(f"fulln argmin agreement vs full: {match_n*100:.3f}%", flush=True)
 
-    for mode in ("dmin", "argmin", "argf", "jargmin", "full", "fullf",
-                 "packed1"):
+    for mode in ("dmin", "jargmin", "full", "fulln", "packed1"):
         def st(i, c, mode=mode):
             out = run_kernel(ptsa + c * 1e-30, va, vfeat_t, mode)
             return jnp.sum(out[:, :1, ::64]) * 1e-30

@@ -118,9 +118,18 @@ def _geo_kernel(pts_ref, va_ref, vfeat_ref, skel_ref, ssq_ref,
         d = jax.lax.dot_general(va, ptsa, (((1,), (0,)), ((), ())),
                                 preferred_element_type=f32)     # (chunk, T)
         dmin = jnp.min(d, axis=0, keepdims=True)                # (1, T)
+        # native argmin: Mosaic lowers this as a fused sublane reduce that
+        # rides the same traversal as the min — the round-4 hand-rolled
+        # iota/where/min extraction pass cost 8.7 ms/batch8 on its own
+        # (benchmarks/dev/prof_geo_breakdown.py: argmin 20.7 vs jargmin
+        # 12.2 ms).  First-occurrence tie-break = lowest index = torch min
+        # semantics; on hardware the fused reduce resolves NEAR-ties
+        # (distances equal to ~1e-6 relative but not bit-equal)
+        # approximately — 99.99% argmin agreement on adversarially
+        # tie-dense random gaussians, 100% on exact ties and in interpret
+        # mode (XLA argmin).
+        arg = jnp.argmin(d, axis=0)[None].astype(jnp.int32)     # (1, T)
         rows = jax.lax.broadcasted_iota(jnp.int32, d.shape, 0)
-        arg = jnp.min(jnp.where(d <= dmin, rows, jnp.int32(2 ** 30)),
-                      axis=0, keepdims=True)                    # (1, T)
         onehot = (rows == arg).astype(f32)                      # (chunk, T)
         g = jax.lax.dot_general(vfeat_t, onehot, (((1,), (0,)), ((), ())),
                                 preferred_element_type=f32)     # (19, T)
