@@ -50,6 +50,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
     from threedhumangan_tpu import configs
     from threedhumangan_tpu.data.dataset import SyntheticSHHQDataset, iterate_batches
     from threedhumangan_tpu.data.preprocessor import get_preprocessor
@@ -127,6 +131,25 @@ def main():
         "unit": "imgs/sec/chip",
         "vs_baseline": round(imgs_per_sec / A100_BASELINE_IMGS_PER_SEC, 3),
     }
+
+    # driver-captured training number (VERDICT r4 #10): the full adversarial
+    # D+G+R1 step (BASELINE.json #5) rides the same JSON line as extra keys
+    # so the measurement lands in BENCH_r{N}.json, not just repo-committed
+    # docs.  BENCH_TRAIN=0 skips it (adds one ~2-4 min compile when cold).
+    if os.environ.get("BENCH_TRAIN", "1") == "1":
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from benchmarks.bench_train import measure_train_step
+
+        train_batch = int(os.environ.get("BENCH_TRAIN_BATCH", "8"))
+        try:
+            train_rate = measure_train_step("MAP3DBN", train_batch)
+            result["train_imgs_per_sec"] = round(train_rate, 3)
+            result["train_metric"] = (
+                f"full adversarial training step (MAP3DBN, D+G+R1, "
+                f"batch {train_batch})")
+        except Exception as e:  # the headline metric must still print
+            result["train_error"] = repr(e)[:200]
+
     print(json.dumps(result))
     return 0
 

@@ -21,6 +21,63 @@ import sys
 sys.path.insert(0, os.getcwd())
 
 
+def measure_train_step(config: str = "MAP3DBN", batch: int = 8,
+                       n1: int = 2, n2: int = 6) -> float:
+    """Measure the full adversarial D+G+R1 training step (BASELINE.json #5)
+    at stock accelerator defaults; returns imgs/sec/chip.  Shared by this
+    script and bench.py (which embeds the number in the driver-captured
+    JSON line — VERDICT r4 #10)."""
+    import jax
+    import jax.numpy as jnp
+
+    from benchmarks.timing import device_time
+    from threedhumangan_tpu import configs
+    from threedhumangan_tpu.data.dataset import SyntheticSHHQDataset, iterate_batches
+    from threedhumangan_tpu.data.preprocessor import get_preprocessor
+    from threedhumangan_tpu.models.smpl import synthetic_smpl_model
+    from threedhumangan_tpu.trainers.phase_trainer import (
+        d_train_step,
+        g_train_step,
+        init_train_state,
+    )
+
+    meta = dict(configs.extract_metadata(getattr(configs, config), 0))
+    meta["dataset_length"] = batch
+    on_acc = jax.default_backend() not in ("cpu",)
+    for k in ("pallas_knn", "pallas_geo", "pallas_field", "pallas_raster",
+              "pallas_synthesis_train"):
+        meta[k] = on_acc
+    if meta["pallas_synthesis_train"]:
+        meta.setdefault("remat_synthesis", False)
+
+    smpl = synthetic_smpl_model(num_verts=6890, num_faces=13776)
+    ds = SyntheticSHHQDataset(smpl_model=smpl, **meta)
+    pre = get_preprocessor(meta, smpl_model=smpl)
+    data = next(iterate_batches(ds, batch, shuffle=False))
+    data = {k: jnp.asarray(v) for k, v in data.items()}
+    rng = jax.random.PRNGKey(0)
+
+    def tick(x):
+        return sum(jnp.sum(v.astype(jnp.float32))
+                   for v in jax.tree_util.tree_leaves(x)) * 1e-30
+
+    ts0 = init_train_state(rng, meta)
+    phase = meta["phases"][3]  # do_r1=True — the heaviest slot
+
+    def pair_step(i, carry):
+        k = jax.random.fold_in(rng, i)
+        kd, kg = jax.random.split(k)
+        ts = ts0._replace(step=ts0.step + (carry * 1e-30).astype(jnp.int32))
+        ts, _ = d_train_step(ts, data, kd, jnp.float32(4e-4), jnp.float32(0.5),
+                             pre, meta, phase)
+        ts, _ = g_train_step(ts, data, kg, jnp.float32(1e-4), jnp.float32(0.5),
+                             pre, meta, phase)
+        return tick(ts.params_G) + tick(ts.params_D)
+
+    per, _ = device_time(pair_step, n1=n1, n2=n2)
+    return batch / per
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", type=str, default="MAP3DBN")
