@@ -74,6 +74,8 @@ def main():
     meta["pallas_tile_rays"] = int(os.environ.get("BENCH_TILE_RAYS", "64"))
     meta["pallas_march_loop"] = os.environ.get("BENCH_MARCH_LOOP", "0") == "1"
     meta["pallas_step_pack"] = int(os.environ.get("BENCH_STEP_PACK", "2"))
+    if os.environ.get("BENCH_FOLD_FILM"):
+        meta["pallas_fold_film"] = os.environ["BENCH_FOLD_FILM"] == "1"
     # mirror fused_field_render's coercion so logs label the EFFECTIVE
     # kernel config, not the requested one
     if (meta["pallas_march_loop"] or meta["pallas_step_pack"] < 1

@@ -82,6 +82,9 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", type=str, default="MAP3DBN")
     parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--batch_split", type=int, default=0,
+                        help="micro-batch count (lax.scan gradient "
+                             "accumulation); 0 keeps the config default")
     parser.add_argument("--platform", type=str, default=None)
     opt = parser.parse_args()
 
@@ -90,6 +93,9 @@ def main():
 
     if opt.platform:
         jax.config.update("jax_platforms", opt.platform)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
     from benchmarks.timing import device_time
     from threedhumangan_tpu import configs
@@ -123,6 +129,8 @@ def main():
         meta["pallas_march_loop"] = os.environ["BENCH_MARCH_LOOP"] == "1"
     if os.environ.get("BENCH_TILE_RAYS"):
         meta["pallas_tile_rays"] = int(os.environ["BENCH_TILE_RAYS"])
+    if opt.batch_split:
+        meta["batch_split"] = opt.batch_split
 
     B = opt.batch
     smpl = synthetic_smpl_model(num_verts=6890, num_faces=13776)
