@@ -76,6 +76,8 @@ def main():
     meta["pallas_step_pack"] = int(os.environ.get("BENCH_STEP_PACK", "2"))
     if os.environ.get("BENCH_FOLD_FILM"):
         meta["pallas_fold_film"] = os.environ["BENCH_FOLD_FILM"] == "1"
+    if os.environ.get("BENCH_FOLD_PIPE2"):
+        meta["pallas_fold_pipe2"] = os.environ["BENCH_FOLD_PIPE2"] == "1"
     # mirror fused_field_render's coercion so logs label the EFFECTIVE
     # kernel config, not the requested one
     if (meta["pallas_march_loop"] or meta["pallas_step_pack"] < 1

@@ -48,7 +48,9 @@ def measure_train_step(config: str = "MAP3DBN", batch: int = 8,
               "pallas_synthesis_train"):
         meta[k] = on_acc
     if meta["pallas_synthesis_train"]:
-        meta.setdefault("remat_synthesis", False)
+        from threedhumangan_tpu.models.generator import auto_remat_synthesis
+        micro = max(1, batch // int(meta.get("batch_split", 1)))
+        meta.setdefault("remat_synthesis", auto_remat_synthesis(meta, micro))
 
     smpl = synthetic_smpl_model(num_verts=6890, num_faces=13776)
     ds = SyntheticSHHQDataset(smpl_model=smpl, **meta)
@@ -120,8 +122,12 @@ def main():
     # trainable fused synthesis half-blocks (ops/synthesis_train.py)
     meta["pallas_synthesis_train"] = (
         on_acc and os.environ.get("BENCH_SYNTH_TRAIN", "1") == "1")
+    if opt.batch_split:
+        meta["batch_split"] = opt.batch_split
     if meta["pallas_synthesis_train"]:
-        meta.setdefault("remat_synthesis", False)
+        from threedhumangan_tpu.models.generator import auto_remat_synthesis
+        micro = max(1, opt.batch // int(meta.get("batch_split", 1)))
+        meta.setdefault("remat_synthesis", auto_remat_synthesis(meta, micro))
     if os.environ.get("BENCH_SYNTH_TRAIN_TILE"):
         meta["pallas_synthesis_train_tile_rows"] = int(
             os.environ["BENCH_SYNTH_TRAIN_TILE"])
@@ -129,8 +135,6 @@ def main():
         meta["pallas_march_loop"] = os.environ["BENCH_MARCH_LOOP"] == "1"
     if os.environ.get("BENCH_TILE_RAYS"):
         meta["pallas_tile_rays"] = int(os.environ["BENCH_TILE_RAYS"])
-    if opt.batch_split:
-        meta["batch_split"] = opt.batch_split
 
     B = opt.batch
     smpl = synthetic_smpl_model(num_verts=6890, num_faces=13776)

@@ -477,3 +477,39 @@ def test_folded_kernel_bf16_slabs_reasonable(rng):
         exact_sin=True, fold_film=True, step_pack=2)
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_u),
                                rtol=0.15, atol=0.05)
+
+
+@pytest.mark.parametrize("with_noise", [False, True])
+def test_folded_pipe2_matches_plain_folded(rng, with_noise):
+    """pipe2 (two interleaved half-chains per group, round 5) is pure
+    instruction scheduling: each half is a contiguous row range and every
+    per-half op is row-local, so outputs must match the plain folded
+    kernel to numerical noise.  Shapes chosen so M = sp*T >= 256 (the
+    planner's pipe2 preference point) actually engages the split."""
+    B, R, S = 2, 64, 8
+    H, G, F, NB = 16, 31, 8, 4
+    P = R * S
+    scale = 2.0 / 2.85
+
+    params = init_coordconcat_siren(rng, 3, H, G, F, NB)
+    ks = jax.random.split(rng, 6)
+    points = 0.5 * jax.random.normal(ks[0], (B, P, 3))
+    geo = 0.3 * jax.random.normal(ks[1], (B, P, G))
+    dirs = jnp.repeat(jax.random.normal(ks[2], (B, R, 3)), S, axis=1)
+    freq = 0.1 * jax.random.normal(ks[3], (B, NB * H))
+    phase = 0.1 * jax.random.normal(ks[4], (B, NB * H))
+    z_vals = jnp.sort(jax.random.uniform(ks[5], (B, R, S)) + 1.0, axis=-1)
+    noise = 0.5 * jax.random.normal(ks[5], (B, P, 1)) if with_noise else None
+    packed = pack_field_inputs(points, geo, dirs, scale, noise=noise)
+
+    kw = dict(num_steps=S, tile_rays=64, white_back=False, last_back=True,
+              compute_dtype=jnp.float32, interpret=True, exact_sin=True,
+              fold_film=True, step_pack=4)
+    out_p, depth_p = fused_field_render(
+        params, packed, freq, phase, z_vals, pipe2=True, **kw)
+    out_f, depth_f = fused_field_render(
+        params, packed, freq, phase, z_vals, pipe2=False, **kw)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_f),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(depth_p), np.asarray(depth_f),
+                               rtol=1e-6, atol=1e-7)

@@ -115,3 +115,22 @@ def test_curriculum_boundaries_lr_and_stage_switch(tmp_path_factory):
     assert trainer2.step == 7
     assert trainer2.batch_size == 4
     assert trainer2._cur_lr == (5e-5, 2e-4)
+
+
+def test_auto_remat_synthesis_flip_points():
+    """Shape-aware remat default (round 5): the no-remat G backward holds
+    ~2 residual maps per SPADE block; MAP3DBN512L batch 8 and MAP3DBN
+    batch 32 exceed v5e HBM without remat (measured OOM, 20.6G/15.75G)
+    while MAP3DBN batch 8/16 and MAP3DBN512 batch 8 measure faster
+    without it."""
+    from threedhumangan_tpu import configs
+    from threedhumangan_tpu.models.generator import auto_remat_synthesis
+
+    m = lambda cfg: dict(configs.extract_metadata(cfg, 0))
+    assert not auto_remat_synthesis(m(configs.MAP3DBN), 8)
+    assert not auto_remat_synthesis(m(configs.MAP3DBN), 16)
+    assert auto_remat_synthesis(m(configs.MAP3DBN), 32)
+    assert not auto_remat_synthesis(m(configs.MAP3DBN512), 8)
+    assert auto_remat_synthesis(m(configs.MAP3DBN512L), 8)
+    # batch_split divides the live micro-batch back under the budget
+    assert not auto_remat_synthesis(m(configs.MAP3DBN512L), 8 // 2)

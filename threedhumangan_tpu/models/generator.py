@@ -41,6 +41,37 @@ def _is_zero(x) -> bool:
     return isinstance(x, (int, float)) and x == 0
 
 
+# flip point for auto_remat_synthesis, in bytes of estimated no-remat
+# synthesis residuals.  Calibrated on v5e (15.75 GB usable HBM): the
+# largest configuration MEASURED to run without remat is MAP3DBN512
+# batch 8 (~9.7 GB of residuals by the model below); MAP3DBN512L batch 8
+# (~15.9 GB) and MAP3DBN batch 32 (~14.5 GB) both exceed HBM outright
+# (XLA reports 20.6 G used).  10 GB keeps the known-good point no-remat
+# while flipping everything at or beyond the known-bad ones.
+_AUTO_REMAT_RESIDUAL_BUDGET = 10 * 2**30
+
+
+def auto_remat_synthesis(meta: Dict, micro_batch: int) -> bool:
+    """Shape-aware default for ``remat_synthesis``.
+
+    Without rematerialization the G-step backward holds ~2 residual
+    activation maps per SPADE block (each trainable half-block kernel
+    saves its input h — ops/synthesis_train.py), i.e. about
+
+        2 * synthesis_blocks * B * gen_h * gen_w * hidden  (bf16)
+
+    bytes alive across the backward.  A flat default cannot serve both
+    MAP3DBN at batch 8 (3.6 GB — measurably faster without remat) and
+    MAP3DBN512L (15.9 GB — does not fit 16 GB HBM at all), so trainers
+    and benches call this with the per-device micro-batch
+    (batch // batch_split) unless the config pins ``remat_synthesis``
+    explicitly."""
+    blocks = meta.get("synthesis_blocks", 9)
+    residual_bytes = (2 * blocks * micro_batch * meta["gen_height"]
+                      * meta["gen_width"] * meta["hidden_dim"] * 2)
+    return residual_bytes > _AUTO_REMAT_RESIDUAL_BUDGET
+
+
 def init_generator(key, meta: Dict) -> Tuple[Dict, Dict]:
     """Build all generator params (ref Map3DGenerator.__init__ :103-173)."""
     keys = jax.random.split(key, 6)
@@ -241,6 +272,10 @@ def render(
             # the kernel is VPU-bound and folding deletes the per-element
             # FiLM mul/add (ops/raymarch._fused_field_render_folded)
             fold_film=meta.get("pallas_fold_film", True),
+            # split each group into two interleaved half-chains so one
+            # half's VPU sin overlaps the other's MXU matmul (folded
+            # kernel only; needs M >= 256 — the planner raises step_pack)
+            pipe2=meta.get("pallas_fold_pipe2", False),
         )
         z_flat = z_vals.reshape(B, render_w * render_h, num_steps)
         if fuse_geo:
@@ -252,6 +287,7 @@ def render(
             common.pop("march_loop")  # geo-fused kernel is unroll-only
             common.pop("step_pack")   # and single-step-slab only
             common.pop("fold_film")   # folding lives in the plain kernel
+            common.pop("pipe2")       # ditto the pipelined half-chains
             # per-vertex [blended inverse-FK (16); tpose (3)] table — the
             # only XLA-side geo prep; KNN + gather + canonicalization all
             # happen inside the kernel

@@ -296,7 +296,7 @@ def _flatten_field_params(params: Dict) -> Dict[str, jax.Array]:
     jax.jit,
     static_argnames=("num_steps", "tile_rays", "white_back", "last_back",
                      "compute_dtype", "interpret", "exact_sin", "march_loop",
-                     "step_pack", "fold_film"),
+                     "step_pack", "fold_film", "pipe2"),
 )
 def fused_field_render(
     field_params: Dict,
@@ -314,6 +314,7 @@ def fused_field_render(
     march_loop: bool = False,
     step_pack: int = 1,
     fold_film: bool = True,
+    pipe2: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (rendered (B, R, feature_dim+3), depth (B, R, 1)).
 
@@ -348,7 +349,7 @@ def fused_field_render(
         return _fused_field_render_folded(
             field_params, packed_inputs, freq, phase, z_vals, num_steps,
             tile_rays, white_back, last_back, compute_dtype, interpret,
-            exact_sin, step_pack)
+            exact_sin, step_pack, pipe2=pipe2)
 
     if march_loop:
         step_pack = 1  # loop mode is single-step-slab
@@ -526,7 +527,7 @@ def _raymarch_kernel_folded(
     wf_ref, bf_ref, wn0_ref, wns_ref, bn_ref, wcx_ref, wcd_ref, bc_ref,
     *rest_refs,
     head_names, geo_dim, tile_rays, num_steps, step_pack,
-    white_back, last_back, compute_dtype, exact_sin, with_noise,
+    white_back, last_back, compute_dtype, exact_sin, with_noise, pipe2,
 ):
     head_refs = rest_refs[: len(head_names)]
     out_ref, depth_ref = rest_refs[len(head_names) :]
@@ -537,6 +538,12 @@ def _raymarch_kernel_folded(
     T = tile_rays
     sp = step_pack
     n_in = 3 + geo_dim
+    # two-chain software pipelining: split the group slab into two
+    # independent half-chains so one chain's VPU sin overlaps the other's
+    # MXU matmul (the kernel is sin-bound by ~8 ms/batch8 at 512L shapes,
+    # PERFORMANCE.md round-4).  Only worthwhile when each half still fills
+    # the 128-row MXU.
+    pipe2 = pipe2 and sp * T >= 256 and (sp * T) % 2 == 0
 
     wf = wf_ref[:]
     bf = bf_ref[:]
@@ -563,6 +570,35 @@ def _raymarch_kernel_folded(
 
     def siren_group(slab):
         """(sp*T, n_cols) slab -> (field (sp*T, F+3), sigma (sp*T, 1))."""
+        if pipe2:
+            # two interleaved half-chains: each layer issues both halves'
+            # matmuls before either half's sin, so the scheduler can run
+            # half B's MXU matmul under half A's VPU sin (and vice versa).
+            # Row order is preserved: halves are contiguous row ranges and
+            # every per-half op is row-local.
+            h = (sp * T) // 2
+            xs = [slab[:h], slab[h:]]
+            ys = [mm(s[:, :n_in], wf) + bf for s in xs]
+            acts = [ys]
+            for w, b in ([(wn0, bn[0:1, :])]
+                         + [(wns[i], bn[i + 1 : i + 2, :])
+                            for i in range(n_trunk)]):
+                prev = acts[-1]
+                cur = [mm(_sin(prev[j]).astype(cd), w) + b for j in (0, 1)]
+                acts.append(cur)
+            hs = [_sin(a).astype(cd) for a in acts[-1]]
+            sigma = jnp.concatenate(
+                [mm(x, heads["w_sigma"]) for x in hs], 0) + heads["b_sigma"]
+            if with_noise:
+                sigma = sigma + slab[:, n_in + 3 : n_in + 4].astype(f32)
+            xcs = [_sin(mm(hs[j], wcx)
+                        + dirs_part_g[j * h : (j + 1) * h]).astype(cd)
+                   for j in (0, 1)]
+            rgb = jax.nn.sigmoid(jnp.concatenate(
+                [mm(x, heads["w_rgb"]) for x in xcs], 0) + heads["b_rgb"])
+            feat = jnp.concatenate(
+                [mm(x, heads["w_feat"]) for x in xcs], 0) + heads["b_feat"]
+            return jnp.concatenate([rgb, feat], axis=-1), sigma
         x = _sin(mm(slab[:, :n_in], wf) + bf).astype(cd)
         x = _sin(mm(x, wn0) + bn[0:1, :]).astype(cd)
         for i in range(n_trunk):
@@ -676,7 +712,8 @@ def _folded_vmem_bytes(tile_rays, step_pack, num_steps, n_cols, hidden,
 
 def auto_fold_tiles(tile_rays, step_pack, num_steps, n_cols, hidden,
                     feature_dim, n_blocks,
-                    budget=int(15.2 * 2 ** 20), total_rays=None):
+                    budget=int(15.2 * 2 ** 20), total_rays=None,
+                    prefer_m=None):
     """Largest (tile_rays, step_pack) <= requested that fits the scoped
     VMEM budget per `_folded_vmem_bytes`.  For each tile_rays (largest
     first) try the largest dividing step_pack first — a big matmul M at a
@@ -684,7 +721,9 @@ def auto_fold_tiles(tile_rays, step_pack, num_steps, n_cols, hidden,
     MXU weight loads).  When `total_rays` is given, candidate tiles are
     restricted to divisors of it so shrinking a non-power-of-two request
     (e.g. 48) never lands on a tile that fails the caller's R % tile == 0
-    contract."""
+    contract.  ``prefer_m`` (pipe2): among fitting candidates, first try
+    to reach M = sp*T >= prefer_m (larger T wins ties); fall back to the
+    plain rule when nothing fitting reaches it."""
     T0 = max(8, tile_rays)
     if total_rays is not None:
         cands = [t for t in range(min(T0, total_rays), 0, -1)
@@ -698,10 +737,19 @@ def auto_fold_tiles(tile_rays, step_pack, num_steps, n_cols, hidden,
             cands.append(T)
             T //= 2
     sps = [s for s in range(max(1, step_pack), 0, -1) if num_steps % s == 0]
+    fits = lambda T, sp: _folded_vmem_bytes(
+        T, sp, num_steps, n_cols, hidden, feature_dim, n_blocks) <= budget
+    if prefer_m:
+        # smallest dividing step_pack that reaches M (bigger sp only costs
+        # VMEM); largest fitting tile wins
+        for T in cands:
+            sp_m = [s for s in range(1, num_steps + 1)
+                    if num_steps % s == 0 and s * T >= prefer_m]
+            if sp_m and fits(T, sp_m[0]):
+                return T, sp_m[0]
     for T in cands:
         for sp in sps:
-            if _folded_vmem_bytes(T, sp, num_steps, n_cols, hidden,
-                                  feature_dim, n_blocks) <= budget:
+            if fits(T, sp):
                 return T, sp
     return cands[-1], 1
 
@@ -709,7 +757,7 @@ def auto_fold_tiles(tile_rays, step_pack, num_steps, n_cols, hidden,
 def _fused_field_render_folded(
     field_params, packed_inputs, freq, phase, z_vals,
     num_steps, tile_rays, white_back, last_back, compute_dtype,
-    interpret, exact_sin, step_pack,
+    interpret, exact_sin, step_pack, pipe2=False,
 ):
     B, P, n_cols = packed_inputs.shape
     with_noise = n_cols == INPUT_PACK + 1
@@ -722,9 +770,11 @@ def _fused_field_render_folded(
     feature_dim = shared["w_feat"].shape[1]
     n_blocks = per_image["b_net"].shape[1]
 
+    # pipe2 needs M = sp*T >= 256 so each half-chain still fills the
+    # 128-row MXU; the planner prefers such a point when one fits
     tile_rays, step_pack = auto_fold_tiles(
         tile_rays, step_pack, num_steps, n_cols, hidden, feature_dim,
-        n_blocks, total_rays=R)
+        n_blocks, total_rays=R, prefer_m=256 if pipe2 else None)
     assert R % tile_rays == 0, (R, tile_rays)
     n_tiles = R // tile_rays
     n_groups = num_steps // step_pack
@@ -746,7 +796,7 @@ def _fused_field_render_folded(
         head_names=head_names, geo_dim=geo_dim, tile_rays=tile_rays,
         num_steps=num_steps, step_pack=step_pack, white_back=white_back,
         last_back=last_back, compute_dtype=compute_dtype,
-        exact_sin=exact_sin, with_noise=with_noise)
+        exact_sin=exact_sin, with_noise=with_noise, pipe2=pipe2)
 
     grid = (B, n_tiles)
     NBm1 = max(n_blocks - 1, 1)
@@ -852,7 +902,7 @@ def _xla_packed_render(field_params, packed_inputs, freq, phase, z_vals,
 def _make_trainable_render(num_steps, tile_rays, white_back, last_back,
                            compute_dtype, interpret, exact_sin,
                            pallas_bwd=False, march_loop=False, step_pack=1,
-                           fold_film=True):
+                           fold_film=True, pipe2=False):
     """Differentiable fused render: the primal forward is the Pallas kernel
     (fast — weights resident in VMEM, no HBM activations); the backward
     rematerializes through `_xla_packed_render` and pulls cotangents back
@@ -874,7 +924,7 @@ def _make_trainable_render(num_steps, tile_rays, white_back, last_back,
             tile_rays=tile_rays, white_back=white_back, last_back=last_back,
             compute_dtype=compute_dtype, interpret=interpret,
             exact_sin=exact_sin, march_loop=march_loop, step_pack=step_pack,
-            fold_film=fold_film)
+            fold_film=fold_film, pipe2=pipe2)
 
     def fwd(field_params, packed, freq, phase, z_vals):
         return render_fn(field_params, packed, freq, phase, z_vals), (
@@ -911,6 +961,7 @@ def fused_field_render_trainable(
     num_steps, tile_rays=128, white_back=False, last_back=False,
     compute_dtype=jnp.bfloat16, interpret=False, exact_sin=False,
     pallas_bwd=False, march_loop=False, step_pack=1, fold_film=True,
+    pipe2=False,
 ):
     """`fused_field_render` with gradients: Pallas forward and either the
     XLA-remat backward (default) or the full Pallas backward kernel
@@ -918,7 +969,8 @@ def fused_field_render_trainable(
     z are no-grad data on every caller path)."""
     fn = _make_trainable_render(
         num_steps, tile_rays, white_back, last_back, compute_dtype,
-        interpret, exact_sin, pallas_bwd, march_loop, step_pack, fold_film)
+        interpret, exact_sin, pallas_bwd, march_loop, step_pack, fold_film,
+        pipe2)
     return fn(field_params, packed_inputs, freq, phase, z_vals)
 
 

@@ -32,6 +32,7 @@ import numpy as np
 from threedhumangan_tpu import configs
 from threedhumangan_tpu.data.dataset import get_dataset_distributed
 from threedhumangan_tpu.data.preprocessor import get_preprocessor
+from threedhumangan_tpu.models.generator import auto_remat_synthesis
 from threedhumangan_tpu.parallel.mesh import create_mesh, shard_batch
 from threedhumangan_tpu.parallel.stats import Collector
 from threedhumangan_tpu.trainers.phase_trainer import (
@@ -146,12 +147,9 @@ class Trainer:
         self._stage_meta.setdefault("pallas_geo", on_accel)
         self._stage_meta.setdefault("pallas_field", on_accel)
         self._stage_meta.setdefault("pallas_raster", on_accel)
-        # trainable fused synthesis half-blocks (ops/synthesis_train.py):
-        # serve the G-step grad path AND the D-step train-mode fakes; with
-        # their minimal residuals the per-block remat is no longer needed
+        # trainable fused synthesis half-blocks (ops/synthesis_train.py)
+        # serve the G-step grad path AND the D-step train-mode fakes
         self._stage_meta.setdefault("pallas_synthesis_train", on_accel)
-        if self._stage_meta["pallas_synthesis_train"]:
-            self._stage_meta.setdefault("remat_synthesis", False)
         self.preprocessor = get_preprocessor(
             self._stage_meta, smpl_model=self.dataset.smpl_model)
 
@@ -174,6 +172,17 @@ class Trainer:
             n_data = max(n for n in range(1, ndev + 1)
                          if self.proc_batch_size % n == 0)
         self.mesh = create_mesh(n_data=n_data)
+        # synthesis remat: only pay the recompute when the no-remat residual
+        # set outgrows per-device HBM (a blanket False OOM'd the 512L and
+        # batch-32 steps, round 5).  Decided per DEVICE micro-batch —
+        # batch shards over the mesh and batch_split scans sequentially.
+        if self._stage_meta["pallas_synthesis_train"]:
+            per_dev = (self.batch_size // n_data if n_proc > 1
+                       else max(1, self.proc_batch_size // n_data))
+            micro = max(1, per_dev // int(self._stage_meta.get("batch_split", 1)))
+            self._stage_meta.setdefault(
+                "remat_synthesis",
+                auto_remat_synthesis(self._stage_meta, micro))
         if self.ts is not None:
             # commit the train state to the mesh (replicated) BEFORE the
             # first step.  Besides being required on mesh changes (stale
