@@ -134,3 +134,42 @@ def test_auto_remat_synthesis_flip_points():
     assert auto_remat_synthesis(m(configs.MAP3DBN512L), 8)
     # batch_split divides the live micro-batch back under the budget
     assert not auto_remat_synthesis(m(configs.MAP3DBN512L), 8 // 2)
+
+
+@pytest.mark.heavy
+def test_oom_recovery_doubles_batch_split(tmp_path_factory):
+    """HBM-OOM recovery (round 5): an XLA out-of-memory on the train step
+    doubles batch_split and rebuilds the stage (the single-chip batch-32
+    full step exceeded 15.75G HBM by 0.5G even with remat on); unrelated
+    errors and un-splittable micro-batches are re-raised."""
+    from threedhumangan_tpu import configs
+    from threedhumangan_tpu.models.smpl import synthetic_smpl_model
+    from threedhumangan_tpu.trainers.base_trainer import Trainer
+
+    out = str(tmp_path_factory.mktemp("oomrec"))
+    cfg = dict(configs.MAP3DBN_TINY)
+    cfg[0] = dict(cfg[0], batch_size=16)
+    cfg["dataset_length"] = 16
+    smpl = synthetic_smpl_model(num_verts=32, num_faces=40)
+    trainer = Trainer(0, 1, _opt(out), cfg, smpl_model=smpl)
+
+    # not an OOM: refused
+    assert not trainer._try_oom_recovery(RuntimeError("some other failure"))
+    assert int(trainer._stage_meta.get("batch_split", 1)) == 1
+
+    oom = RuntimeError(
+        "XLA:TPU compile permanent error. Ran out of memory in memory "
+        "space hbm. Used 16.25G of 15.75G hbm.")
+    per_dev = trainer.batch_size // int(
+        __import__("numpy").prod(list(trainer.mesh.shape.values())))
+    token = trainer._stage_token
+    splits = []
+    while trainer._try_oom_recovery(oom):
+        splits.append(int(trainer._stage_meta["batch_split"]))
+    # doubled until the per-device micro-batch hit 1, then refused
+    assert splits and splits[0] == 2
+    assert splits[-1] == per_dev
+    assert trainer._stage_token > token
+    # the floor survives a stage rebuild (curriculum boundary)
+    trainer._build_stage(dict(configs.extract_metadata(cfg, 0)))
+    assert int(trainer._stage_meta["batch_split"]) == per_dev

@@ -130,6 +130,11 @@ class Trainer:
             smpl_model=self.smpl_model, **kwargs)
         self._stage_meta = dict(meta)
         self._stage_meta.pop("nerf_noise", None)
+        # HBM-OOM recovery floor (see _try_oom_recovery): a previous stage
+        # of this run hit compile-time OOM and raised the micro-batching
+        self._stage_meta["batch_split"] = max(
+            int(self._stage_meta.get("batch_split", 1)),
+            getattr(self, "_batch_split_min", 1))
         # lrs are traced args of the train step, NOT part of the compiled
         # program: keep them out of the content-hashed stage meta entirely
         # (mutating the registered dict in place would silently change its
@@ -225,6 +230,52 @@ class Trainer:
                 self.ts, batch, rng, phase,
                 lr_g=self._cur_lr[0], lr_d=self._cur_lr[1],
                 nerf_noise=1.0, ada_p=self.ada_p)
+
+    def _try_oom_recovery(self, e: BaseException) -> bool:
+        """If ``e`` is an XLA HBM out-of-memory, double batch_split (lax.scan
+        gradient accumulation, ref phase_trainer.py:363/456 batch_split) and
+        rebuild the stage; returns True when the caller should retry the
+        step.  Replaces a hard crash with the recovery the reference leaves
+        to the operator (hand-editing batch_split in the config): the full
+        D+G step's no-remat/remat footprints are estimated, not measured, so
+        a real compile can still exceed HBM on shapes the estimator passes
+        (e.g. single-chip batch 32 exceeded 15.75G by 0.5G even with remat).
+
+        Compile-time OOM surfaces BEFORE execution, so donated train-state
+        buffers are still intact and the retry is safe; a runtime OOM may
+        have consumed them — detected below and restored from the latest
+        checkpoint (same as a process restart)."""
+        msg = str(e)
+        if "Ran out of memory" not in msg and "RESOURCE_EXHAUSTED" not in msg:
+            return False
+        n_data = int(np.prod(list(self.mesh.shape.values())))
+        per_dev = max(1, self.batch_size // n_data)
+        cur = int(self._stage_meta.get("batch_split", 1))
+        new = cur * 2
+        if per_dev % new or per_dev < new:
+            return False  # cannot micro-batch further — re-raise upstream
+        self._batch_split_min = new
+        print(f"rank {self.rank}: train step exceeded HBM; retrying with "
+              f"batch_split={new} (was {cur})", flush=True)
+        self._build_stage(configs.extract_metadata(self.config, self.step))
+        # a RUNTIME OOM (vs compile-time) may have consumed the donated
+        # train-state buffers mid-dispatch; restore from the latest
+        # checkpoint if so (the npz resume path, same as a process restart)
+        leaves = jax.tree_util.tree_leaves(self.ts)
+        if any(getattr(l, "is_deleted", lambda: False)() for l in leaves):
+            ckpt = latest_checkpoint(self.output_dir)
+            if not ckpt:
+                return False  # nothing to restore — re-raise upstream
+            payload = load_checkpoint(ckpt)
+            self.ts = jax.tree.map(
+                jnp.asarray, TrainState(**payload["train_state"]))
+            self.step = int(payload["step"])
+            from threedhumangan_tpu.parallel.mesh import replicate
+            self.ts = replicate(self.ts, self.mesh)
+            print(f"rank {self.rank}: donated state was consumed by the "
+                  f"failed step; restored {ckpt} at step {self.step}",
+                  flush=True)
+        return True
 
     def _meta_for_step(self, step: int) -> Optional[Dict]:
         meta = configs.extract_metadata(self.config, step)
@@ -392,10 +443,20 @@ class Trainer:
                 nerf_noise = max(0.0, 1.0 - self.step / 5000.0)  # ref :384
 
                 self.rng, step_key = jax.random.split(self.rng)
-                self.ts, stats = self.train_step(
-                    self.ts, batch, step_key, phase,
-                    lr_g=self._cur_lr[0], lr_d=self._cur_lr[1],
-                    nerf_noise=nerf_noise, ada_p=self.ada_p)
+                while True:
+                    try:
+                        self.ts, stats = self.train_step(
+                            self.ts, batch, step_key, phase,
+                            lr_g=self._cur_lr[0], lr_d=self._cur_lr[1],
+                            nerf_noise=nerf_noise, ada_p=self.ada_p)
+                        break
+                    except Exception as e:  # HBM OOM -> double batch_split
+                        if not self._try_oom_recovery(e):
+                            raise
+                        # the rebuild bumped the stage token; this retry is
+                        # same-shape (only micro-batching changed), so keep
+                        # the loader and the already-uploaded batch
+                        stage_token = self._stage_token
                 self.step += 1
 
                 # ADA p update (ref run :405-406; interval 0 disables)
