@@ -28,6 +28,7 @@ TILE_RAYS = int(os.environ.get("BENCH_TILE_RAYS", "64"))
 MARCH_LOOP = os.environ.get("BENCH_MARCH_LOOP", "0") == "1"
 SYNTH_TILE = int(os.environ.get("BENCH_SYNTH_TILE", "2"))
 STEP_PACK = int(os.environ.get("BENCH_STEP_PACK", "2"))  # bench.py default
+PIPE2 = os.environ.get("BENCH_FOLD_PIPE2", "0") == "1"
 SYNTH_BPS = int(os.environ.get("BENCH_SYNTH_BPS", "4"))
 
 meta = dict(configs.extract_metadata(configs.MAP3DBN512L, 0))
@@ -144,7 +145,7 @@ def st_field(i, c):
     out, d = fused_field_render(
         params["neural_field"], packed0 + c, freq0, phase0, zflat0,
         num_steps=S, tile_rays=TILE_RAYS, compute_dtype=jnp.bfloat16,
-        march_loop=MARCH_LOOP, step_pack=STEP_PACK)
+        march_loop=MARCH_LOOP, step_pack=STEP_PACK, pipe2=PIPE2)
     return tick((out, d))
 stages["field_kernel"] = st_field
 

@@ -513,3 +513,44 @@ def test_folded_pipe2_matches_plain_folded(rng, with_noise):
                                rtol=1e-6, atol=1e-7)
     np.testing.assert_allclose(np.asarray(depth_p), np.asarray(depth_f),
                                rtol=1e-6, atol=1e-7)
+
+
+def test_trainable_pipe2_grads_match_plain_folded(rng):
+    """pipe2 through the TRAINABLE wrapper (the stock default as of round
+    5): the custom VJP's backward is independent of the forward kernel's
+    scheduling, and the pipe2 primal matches plain folded to numerical
+    noise, so weight/freq/phase grads must agree tightly between the two
+    forward modes."""
+    from threedhumangan_tpu.ops.raymarch import fused_field_render_trainable
+
+    B, R, S = 2, 64, 8
+    H, G, F, NB = 16, 31, 8, 4
+    P = R * S
+    scale = 2.0 / 2.85
+
+    params = init_coordconcat_siren(rng, 3, H, G, F, NB)
+    ks = jax.random.split(rng, 6)
+    points = 0.5 * jax.random.normal(ks[0], (B, P, 3))
+    geo = 0.3 * jax.random.normal(ks[1], (B, P, G))
+    dirs = jnp.repeat(jax.random.normal(ks[2], (B, R, 3)), S, axis=1)
+    freq = 0.1 * jax.random.normal(ks[3], (B, NB * H))
+    phase = 0.1 * jax.random.normal(ks[4], (B, NB * H))
+    z_vals = jnp.sort(jax.random.uniform(ks[5], (B, R, S)) + 1.0, axis=-1)
+    packed = pack_field_inputs(points, geo, dirs, scale)
+
+    def loss(pipe2):
+        def f(p, fr, ph):
+            out, depth = fused_field_render_trainable(
+                p, packed, fr, ph, z_vals, num_steps=S, tile_rays=64,
+                white_back=False, last_back=True,
+                compute_dtype=jnp.float32, interpret=True, exact_sin=True,
+                fold_film=True, step_pack=4, pipe2=pipe2)
+            return jnp.sum(out * out) + jnp.sum(depth * depth)
+        return f
+
+    g_p = jax.grad(loss(True), argnums=(0, 1, 2))(params, freq, phase)
+    g_f = jax.grad(loss(False), argnums=(0, 1, 2))(params, freq, phase)
+    for a, b in zip(jax.tree_util.tree_leaves(g_p),
+                    jax.tree_util.tree_leaves(g_f)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

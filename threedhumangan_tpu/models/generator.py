@@ -274,8 +274,13 @@ def render(
             fold_film=meta.get("pallas_fold_film", True),
             # split each group into two interleaved half-chains so one
             # half's VPU sin overlaps the other's MXU matmul (folded
-            # kernel only; needs M >= 256 — the planner raises step_pack)
-            pipe2=meta.get("pallas_fold_pipe2", False),
+            # kernel only; needs M >= 256 — the planner raises step_pack).
+            # Stock default ON since round 5: +1.0 imgs/s end-to-end at
+            # 512L shapes (59.1-59.4 vs 58.2-58.3); pure scheduling, so
+            # outputs match plain folded to 1e-6 (test_folded_pipe2_*) and
+            # the planner guard turns it off when M = step_pack*T < 256
+            # (tiny configs) rather than running underfilled half-chains
+            pipe2=meta.get("pallas_fold_pipe2", True),
         )
         z_flat = z_vals.reshape(B, render_w * render_h, num_steps)
         if fuse_geo:

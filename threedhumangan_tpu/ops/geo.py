@@ -60,11 +60,22 @@ GEO_DIM = 31  # 3 cano + 24 joint dists + 3 tpose + 1 nearest dist
 def auto_geo_tile(n_vertices_padded: int, budget: int = 14 * 2 ** 20) -> int:
     """Point-tile size.  With the vertex-chunked kernel the (Vc, T) working
     tile no longer scales with V (auto_geo_chunks bounds it), so the point
-    tile is a fixed 512 — swept on v5e at 512L shapes (Vp=6912): tile 128
-    -> 35.9 ms/batch8, 512 -> 22.4 ms; 1024 gave no further gain (the
-    elementwise argmin work is T-independent, B*P*V total either way)."""
+    tile is a fixed 1024 — swept on v5e at 512L shapes with the native-
+    argmin kernel (benchmarks/dev/prof_geo_chunks.py, ms/batch8):
+
+        tile        256    512    1024
+        chunks=1   19.3   14.9   14.4
+        chunks=2   23.9   16.1   15.3
+        chunks=4   25.1   16.3   15.1
+        chunks=8   29.8   18.3   16.0
+
+    More chunks only cost (no cross-chunk MXU/VPU pipelining materializes);
+    larger tiles amortize the per-tile fixed work.  1024/chunks=4 keeps the
+    live distance tile at 7.1 MB — inside auto_geo_chunks' 8 MB headroom
+    budget (the round-4 robustness constraint) — at 94% of the unchunked
+    kernel's speed."""
     del n_vertices_padded, budget
-    return 512
+    return 1024
 
 
 def auto_geo_chunks(n_vertices_padded: int, tile_points: int,
